@@ -1,0 +1,80 @@
+"""BVH build + device traversal equivalence tests.
+
+Mirrors the SURVEY test plan: traversal must agree with a brute-force oracle
+on every ray (hit flag, t, triangle id, occlusion) for a non-trivial mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer.ops import trace
+from tpu_pathtracer.scene import bvh, mesh
+
+
+def _bvh_arrays(m: mesh.Mesh) -> trace.BVHArrays:
+    p = m.positions[m.indices]
+    fb = bvh.build_bvh(p.min(1), p.max(1))
+    p = p[fb.order]
+    assert fb.depth < trace.STACK_DEPTH
+    return trace.BVHArrays(
+        jnp.asarray(fb.bounds_min), jnp.asarray(fb.bounds_max),
+        jnp.asarray(fb.left), jnp.asarray(fb.right), jnp.asarray(fb.count),
+        jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]), jnp.asarray(p[:, 2]))
+
+
+def _random_rays(n, rng, r_origin=3.0):
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * r_origin
+    target = rng.normal(size=(n, 3)) * 0.3
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_traversal_matches_brute_force():
+    m = mesh.bunny(subdiv=16)
+    arrs = _bvh_arrays(m)
+    o, d = _random_rays(512, np.random.default_rng(0))
+    h = jax.jit(trace.intersect)(arrs, o, d)
+    hb = jax.jit(trace.intersect_brute)(arrs.p0, arrs.p1, arrs.p2, o, d)
+    assert (np.asarray(h.hit) == np.asarray(hb.hit)).all()
+    both = np.asarray(h.hit)
+    assert np.abs(np.asarray(h.t) - np.asarray(hb.t))[both].max() < 1e-5
+    assert (np.asarray(h.tri) == np.asarray(hb.tri))[both].all()
+
+
+def test_occlusion_matches():
+    m = mesh.dragon(n_u=96, n_v=12)
+    arrs = _bvh_arrays(m)
+    o, d = _random_rays(512, np.random.default_rng(1))
+    occ = jax.jit(trace.intersect_p)(arrs, o, d, jnp.full((512,), 3e38, jnp.float32))
+    hb = jax.jit(trace.intersect_brute)(arrs.p0, arrs.p1, arrs.p2, o, d)
+    assert (np.asarray(occ) == np.asarray(hb.hit)).all()
+
+
+def test_t_max_respected():
+    m = mesh.uv_sphere(1.0, 8, 16)
+    arrs = _bvh_arrays(m)
+    # rays from outside pointing at sphere but t_max short of the surface
+    o = jnp.asarray(np.tile([[0.0, 0.0, 3.0]], (4, 1)), jnp.float32)
+    d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (4, 1)), jnp.float32)
+    h_near = jax.jit(trace.intersect)(arrs, o, d, t_max=jnp.asarray(1.0))
+    h_far = jax.jit(trace.intersect)(arrs, o, d, t_max=jnp.asarray(10.0))
+    assert not np.asarray(h_near.hit).any()
+    assert np.asarray(h_far.hit).all()
+    assert np.allclose(np.asarray(h_far.t), 2.0, atol=1e-2)
+
+
+def test_bvh_covers_all_triangles():
+    m = mesh.bunny(subdiv=12)
+    p = m.positions[m.indices]
+    fb = bvh.build_bvh(p.min(1), p.max(1))
+    # order is a permutation; leaves tile the triangle range exactly
+    assert sorted(fb.order.tolist()) == list(range(m.n_triangles))
+    leaf = fb.count > 0
+    spans = sorted((int(s), int(s + c)) for s, c in zip(fb.left[leaf], fb.count[leaf]))
+    cursor = 0
+    for a, b in spans:
+        assert a == cursor
+        cursor = b
+    assert cursor == m.n_triangles

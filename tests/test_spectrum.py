@@ -1,0 +1,116 @@
+"""Spectral core tests: grids, CIE data, hero-wavelength sampling, rgb2spec.
+
+The rgb2spec round-trip test mirrors the reference's DeltaE sweep
+(rgb_to_spec/tests/test.rs:225-276) at reduced resolution.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer import color
+from tpu_pathtracer.spectrum import (cie, grid, rgb2spec, sampled)
+
+
+def test_dense_eval_matches_table():
+    values = np.arange(grid.N_DENSE, dtype=np.float32)
+    lam = jnp.asarray([360.0, 360.4, 400.0, 829.9])
+    out = np.asarray(grid.eval_dense(jnp.asarray(values), lam))
+    assert np.allclose(out, [0.0, 0.0, 40.0, 469.0])
+    # out of range -> 0
+    out2 = np.asarray(grid.eval_dense(jnp.asarray(values), jnp.asarray([359.0, 830.5])))
+    assert np.allclose(out2, 0.0)
+
+
+def test_d65_whitepoint_through_cmfs():
+    d65 = cie.illum_d6500()
+    xyz = np.array([grid.inner_product(d65, cie.cie_x()),
+                    grid.inner_product(d65, cie.cie_y()),
+                    grid.inner_product(d65, cie.cie_z())])
+    xy = xyz[:2] / xyz.sum()
+    assert abs(xy[0] - 0.3127) < 2e-3 and abs(xy[1] - 0.3290) < 2e-3
+    assert abs(xyz[1] - 1.0) < 1e-6  # normalized illuminant
+
+
+def test_glass_dispersion():
+    bk7 = cie.glass_eta("bk7")
+    i_d = int(587.6 - 360)
+    assert abs(bk7[i_d] - 1.5168) < 1e-3
+    # normal dispersion: eta decreases with wavelength
+    assert bk7[40] > bk7[400]
+    sf11 = cie.glass_eta("sf11")
+    assert abs(sf11[i_d] - 1.7847) < 2e-3
+
+
+def test_metal_presets_exist():
+    for name in cie.METALS:
+        eta, k = cie.metal_eta_k(name)
+        assert eta.shape == (grid.N_DENSE,) and k.shape == (grid.N_DENSE,)
+        assert (eta > 0).all() and (k >= 0).all()
+
+
+def test_illuminants_normalized():
+    ybar = cie.cie_y()
+    for illum in (cie.illum_a(), cie.illum_d5000(), cie.illum_d60(),
+                  cie.illum_f(2), cie.illum_f(11)):
+        assert abs(grid.inner_product(illum, ybar) - 1.0) < 1e-6
+
+
+def test_wavelength_sampling_stratified():
+    u = jnp.asarray([0.0, 0.25, 0.9])
+    wl = sampled.sample_uniform(u)
+    lam = np.asarray(wl.lam)
+    # lane 0 at min + u * range
+    assert np.allclose(lam[:, 0], 360.0 + np.asarray(u) * 470.0, atol=1e-3)
+    # spacing 117.5 with wraparound
+    d = np.diff(lam, axis=-1)
+    assert np.allclose(np.abs(np.where(d < 0, d + 470.0, d)), 117.5, atol=1e-3)
+    assert (lam >= 360.0).all() and (lam < 830.0).all()
+    assert np.allclose(np.asarray(wl.pdf), 1.0 / 470.0)
+
+
+def test_terminate_secondary():
+    wl = sampled.sample_uniform(jnp.asarray([0.3, 0.7]))
+    fired = sampled.terminate_secondary(wl, jnp.asarray([True, False]))
+    pdf = np.asarray(fired.pdf)
+    assert np.allclose(pdf[0, 1:], 0.0)
+    assert np.allclose(pdf[0, 0], (1.0 / 470.0) / 4.0)
+    assert np.allclose(pdf[1], 1.0 / 470.0)
+    assert bool(fired.secondary_terminated[0]) and not bool(fired.secondary_terminated[1])
+    # terminating twice must not divide pdf again (ref: sampled_spectrum.rs:351-353)
+    again = sampled.terminate_secondary(fired, jnp.asarray([True, False]))
+    assert np.allclose(np.asarray(again.pdf)[0, 0], (1.0 / 470.0) / 4.0)
+
+
+@pytest.mark.slow
+def test_rgb2spec_round_trip_delta_e():
+    """DeltaE(Lab) sweep like the reference's table test, at res=32, 9^3 grid."""
+    zn, coeffs = rgb2spec.get_table("srgb", res=32)
+    n = 9
+    r = np.linspace(0.02, 0.98, n)
+    rgb = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3).astype(np.float32)
+    lam = jnp.broadcast_to(jnp.asarray(grid.DENSE_LAMBDA, jnp.float32), (len(rgb), grid.N_DENSE))
+    s = rgb2spec.albedo_eval(jnp.asarray(rgb), lam, zn, coeffs)
+    a = np.stack([cie.cie_x(), cie.cie_y(), cie.cie_z()], -1) * cie.illum_d6500()[:, None]
+    xyz = np.asarray(s) @ a
+    target_xyz = rgb @ np.asarray(color.SRGB.rgb_to_xyz).T
+
+    def lab(xyz):
+        white = color.SRGB.rgb_to_xyz @ np.ones(3)
+        r = xyz / white
+        eps = (6 / 29) ** 3
+        f = np.where(r > eps, np.cbrt(np.maximum(r, 1e-12)), r * (29 / 6) ** 2 / 3 + 4 / 29)
+        return np.stack([116 * f[:, 1] - 16, 500 * (f[:, 0] - f[:, 1]),
+                         200 * (f[:, 1] - f[:, 2])], -1)
+
+    de = np.linalg.norm(lab(xyz) - lab(target_xyz), axis=-1)
+    # reference target: DeltaE < 3 (rgb_to_spec/tests/test.rs:225-276)
+    assert np.percentile(de, 99) < 3.0, f"p99 deltaE {np.percentile(de, 99)}"
+    assert de.mean() < 1.0, f"mean deltaE {de.mean()}"
+
+
+def test_sigmoid_poly_max_value():
+    c = jnp.asarray([[0.0, 0.0, 0.3], [-40.0, 40.0, -5.0]])
+    mv = np.asarray(rgb2spec.sigmoid_poly_max_value(c))
+    lam = jnp.asarray(grid.DENSE_LAMBDA, jnp.float32)
+    dense = np.asarray(rgb2spec.sigmoid_poly(c, jnp.broadcast_to(lam, (2, grid.N_DENSE))))
+    assert (mv >= dense.max(-1) - 1e-4).all()

@@ -1,0 +1,169 @@
+"""Ray traversal: batched BVH intersect / occlusion on device.
+
+TPU-native replacement for the reference's recursive CPU traversal
+(scene/src/bvh.rs:344-513).  All rays advance in lockstep through one
+``lax.while_loop``; each iteration every live ray pops one node from its
+private traversal stack and either (a) tests the node's two child AABBs and
+pushes the surviving children near-first, or (b) tests the <= MAX_LEAF_SIZE
+triangles of a leaf.  Compared to the reference this adds near-child
+ordering and current-best-t pruning (the reference visits both children
+unconditionally, bvh.rs:370-395) — the standard GPU-style traversal, which
+is also the right shape for the TPU's vector unit: every step is a handful
+of gathers plus fully-vectorized AABB/triangle arithmetic over the whole ray
+batch.
+
+A Pallas kernel variant of this loop lives in ``ops/pallas_trace.py``; this
+XLA formulation is the portable baseline and the autodiff-safe path
+(traversal is non-differentiable; hits are treated as fixed decisions).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import intersect_aabb, intersect_triangle
+
+STACK_DEPTH = 48
+BIG_T = 3.0e38
+
+
+class BVHArrays(NamedTuple):
+    """Device-resident flat BVH + triangle SoA (in BVH leaf order)."""
+    bounds_min: jnp.ndarray  # (N, 3)
+    bounds_max: jnp.ndarray  # (N, 3)
+    left: jnp.ndarray        # (N,) internal: left child; leaf: tri start
+    right: jnp.ndarray       # (N,)
+    count: jnp.ndarray       # (N,) 0 = internal
+    p0: jnp.ndarray          # (T, 3) triangle vertices (leaf order)
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+
+# static leaf width; must match scene.bvh.MAX_LEAF_SIZE
+MAX_LEAF = 4
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # (R,) hit distance (BIG_T if miss)
+    tri: jnp.ndarray      # (R,) triangle id in leaf order (-1 if miss)
+    b1: jnp.ndarray       # (R,) barycentric of p1
+    b2: jnp.ndarray       # (R,) barycentric of p2
+    hit: jnp.ndarray      # (R,) bool
+
+
+def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool):
+    r = ray_o.shape[0]
+    inv_d = 1.0 / ray_d  # IEEE inf for zero components is fine for the slab test
+
+    stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
+    sp = jnp.ones((r,), jnp.int32)  # root pre-pushed at slot 0
+
+    state = dict(
+        stack=stack, sp=sp,
+        best_t=jnp.broadcast_to(jnp.asarray(t_max, ray_o.dtype), (r,)) + 0.0,
+        best_tri=jnp.full((r,), -1, jnp.int32),
+        best_b1=jnp.zeros((r,), ray_o.dtype),
+        best_b2=jnp.zeros((r,), ray_o.dtype),
+    )
+
+    def cond(s):
+        return jnp.any(s["sp"] > 0)
+
+    def body(s):
+        active = s["sp"] > 0
+        top = jnp.maximum(s["sp"] - 1, 0)
+        node = jnp.take_along_axis(s["stack"], top[:, None], axis=1)[:, 0]
+        node = jnp.where(active, node, 0)
+        sp = jnp.where(active, s["sp"] - 1, s["sp"])
+
+        cnt = bvh.count[node]
+        is_leaf = active & (cnt > 0)
+        is_inner = active & (cnt == 0)
+
+        # ---- leaf: test up to max_leaf triangles --------------------------
+        start = bvh.left[node]
+        best_t, best_tri = s["best_t"], s["best_tri"]
+        best_b1, best_b2 = s["best_b1"], s["best_b2"]
+        for k in range(MAX_LEAF):
+            tri_i = jnp.clip(start + k, 0, bvh.p0.shape[0] - 1)
+            valid = is_leaf & (k < cnt)
+            t, b1, b2, h = intersect_triangle(
+                ray_o, ray_d, bvh.p0[tri_i], bvh.p1[tri_i], bvh.p2[tri_i], best_t)
+            better = valid & h & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_tri = jnp.where(better, tri_i, best_tri)
+            best_b1 = jnp.where(better, b1, best_b1)
+            best_b2 = jnp.where(better, b2, best_b2)
+
+        # ---- internal: test both children, push near-first ----------------
+        l_child = bvh.left[node]
+        r_child = bvh.right[node]
+        tn_l, hit_l = intersect_aabb(ray_o, inv_d, bvh.bounds_min[l_child],
+                                     bvh.bounds_max[l_child], best_t)
+        tn_r, hit_r = intersect_aabb(ray_o, inv_d, bvh.bounds_min[r_child],
+                                     bvh.bounds_max[r_child], best_t)
+        hit_l = is_inner & hit_l
+        hit_r = is_inner & hit_r
+
+        # near child popped first => push far child first
+        l_nearer = tn_l <= tn_r
+        first = jnp.where(l_nearer, r_child, l_child)   # far
+        first_ok = jnp.where(l_nearer, hit_r, hit_l)
+        second = jnp.where(l_nearer, l_child, r_child)  # near
+        second_ok = jnp.where(l_nearer, hit_l, hit_r)
+
+        stack = s["stack"]
+        slot = jnp.clip(sp, 0, STACK_DEPTH - 1)
+        stack = jnp.where(
+            (jnp.arange(STACK_DEPTH)[None, :] == slot[:, None]) & first_ok[:, None],
+            first[:, None], stack)
+        sp = sp + first_ok.astype(jnp.int32)
+        slot = jnp.clip(sp, 0, STACK_DEPTH - 1)
+        stack = jnp.where(
+            (jnp.arange(STACK_DEPTH)[None, :] == slot[:, None]) & second_ok[:, None],
+            second[:, None], stack)
+        sp = sp + second_ok.astype(jnp.int32)
+
+        if any_hit:
+            # occlusion query: stop a ray as soon as anything is hit
+            sp = jnp.where(best_tri >= 0, 0, sp)
+
+        return dict(stack=stack, sp=sp, best_t=best_t, best_tri=best_tri,
+                    best_b1=best_b1, best_b2=best_b2)
+
+    s = jax.lax.while_loop(cond, body, state)
+    hit = s["best_tri"] >= 0
+    return Hit(t=s["best_t"], tri=s["best_tri"], b1=s["best_b1"],
+               b2=s["best_b2"], hit=hit)
+
+
+def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T) -> Hit:
+    """Closest-hit query for a batch of rays.
+
+    ray_o, ray_d: (R, 3).  Equivalent of ``Bvh::intersect``
+    (scene/src/bvh.rs:344-444) + ``Scene::intersect`` (scene.rs:80-90).
+    """
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False)
+
+
+def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max) -> jnp.ndarray:
+    """Occlusion (any-hit) query; returns (R,) bool.
+
+    Equivalent of ``Bvh::intersect_p`` (scene/src/bvh.rs:450-513).
+    """
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True).hit
+
+
+def intersect_brute(p0, p1, p2, ray_o, ray_d, t_max=BIG_T) -> Hit:
+    """O(R*T) reference oracle used by the BVH equivalence tests."""
+    def per_ray(o, d):
+        t, b1, b2, h = intersect_triangle(o[None, :], d[None, :], p0, p1, p2,
+                                          jnp.asarray(t_max))
+        t = jnp.where(h, t, BIG_T)
+        i = jnp.argmin(t)
+        return t[i], jnp.where(h[i], i, -1).astype(jnp.int32), b1[i], b2[i], h[i]
+
+    t, tri, b1, b2, h = jax.vmap(per_ray)(ray_o, ray_d)
+    return Hit(t=t, tri=tri, b1=b1, b2=b2, hit=h)
