@@ -1,0 +1,101 @@
+"""Environment (infinite) light: equirect mapping, CDF importance sampling.
+
+Equivalent of the reference's EnvironmentLight
+(scene/src/primitive/impls/environment_light.rs:18-351): luminance*sin(theta)
+two-stage CDF built at scene compile (builder.py), binary-search sampling,
+texel pdf with the W*H/(2*pi^2*sin(theta)) solid-angle Jacobian (:234-259),
+and per-lookup RGB -> illuminant-spectrum upsampling through the device
+sigmoid-polynomial table (:304-316).
+
+Direction convention: y-up; u = phi/2pi with phi = atan2(-z, x), v = theta/pi
+with theta measured from +y (v=0 at the zenith, standard equirect).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import SceneData
+from ..spectrum import rgb2spec
+from . import texture as tex_mod
+
+
+def dir_to_uv(d):
+    """(R, 3) unit dirs -> (R, 2) uv (environment_light.rs:87-116)."""
+    theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-d[:, 2], d[:, 0])
+    u = (phi / (2.0 * math.pi)) % 1.0
+    v = theta / math.pi
+    return jnp.stack([u, v], axis=-1)
+
+
+def uv_to_dir(uv):
+    theta = uv[:, 1] * math.pi
+    phi = uv[:, 0] * 2.0 * math.pi
+    sin_t = jnp.sin(theta)
+    return jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta),
+                      -sin_t * jnp.sin(phi)], axis=-1)
+
+
+def env_radiance(scene: SceneData, wl, d):
+    """Escape radiance for directions d: bilinear texel -> spectrum (R, 4).
+
+    (ref: direction_radiance, environment_light.rs:304-316)
+    """
+    env = scene.env
+    uv = dir_to_uv(d)
+    # note: sample_bilinear flips v; the env map stores v=0 at the top which
+    # is already this orientation, so flip back
+    uv = jnp.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
+    rgb = tex_mod.sample_bilinear(env.rgb, uv)
+    return rgb2spec.illuminant_eval(rgb, wl.lam, scene.rs_zn, scene.rs_coeffs,
+                                    scene.spectra[0])
+
+
+def _cell_probs(cdf):
+    return jnp.diff(cdf, prepend=0.0)
+
+
+def sample_env_direction(scene: SceneData, wl, u_uv):
+    """Importance-sample the env map (environment_light.rs:218-259).
+
+    Returns (dir (R,3), radiance (R,4), pdf_dir (R,)).
+    """
+    env = scene.env
+    h, w = env.rgb.shape[0], env.rgb.shape[1]
+    row = jnp.clip(jnp.searchsorted(env.marginal_cdf, u_uv[:, 0], side="right"),
+                   0, h - 1)
+    cond_rows = env.conditional_cdf[row]                  # (R, W)
+    col = jnp.clip(jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        cond_rows, u_uv[:, 1]), 0, w - 1)
+
+    # cell probabilities
+    p_row = _cell_probs(env.marginal_cdf)[row]
+    p_col = jax.vmap(lambda a, c: _cell_probs(a)[c])(cond_rows, col)
+
+    u = (col.astype(jnp.float32) + 0.5) / w
+    v = (row.astype(jnp.float32) + 0.5) / h
+    d = uv_to_dir(jnp.stack([u, v], axis=-1))
+
+    theta = v * math.pi
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+    # texel -> solid angle Jacobian (environment_light.rs:234-259)
+    pdf = p_row * p_col * (w * h) / (2.0 * math.pi * math.pi * sin_t)
+
+    rad = env_radiance(scene, wl, d)
+    return d, rad, pdf
+
+
+def env_pdf_direction(scene: SceneData, d):
+    """pdf of sampling direction d (BSDF-side MIS, :234-259)."""
+    env = scene.env
+    h, w = env.rgb.shape[0], env.rgb.shape[1]
+    uv = dir_to_uv(d)
+    col = jnp.clip((uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip((uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
+    p_row = _cell_probs(env.marginal_cdf)[row]
+    p_col = jax.vmap(lambda a, c: _cell_probs(a)[c])(env.conditional_cdf[row], col)
+    sin_t = jnp.maximum(jnp.sin(uv[:, 1] * math.pi), 1e-6)
+    return p_row * p_col * (w * h) / (2.0 * math.pi * math.pi * sin_t)

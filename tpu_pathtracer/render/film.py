@@ -1,0 +1,50 @@
+"""Film / sensor: spectral sample -> XYZ -> RGB accumulation.
+
+Equivalent of the reference ``Sensor<G, T, E>`` (renderer/src/sensor.rs:
+12-89), vectorized over all pixels: a spectral contribution (R, 4) with its
+hero wavelengths becomes XYZ via the CIE CMFs evaluated at the 1nm-floored
+wavelength, each lane weighted by 1/(pdf * 4); terminated lanes carry pdf=0
+and so contribute nothing — which reproduces the reference's count=1
+special case exactly (sensor.rs:45-49 + the pdf[0]/=4 of
+terminate_secondary).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import color
+from ..color import eotf as eotf_mod
+from ..color import tone_map as tm_mod
+from ..spectrum import cie, grid
+
+
+@lru_cache(maxsize=None)
+def _cmf_stack() -> np.ndarray:
+    return np.stack([cie.cie_x(), cie.cie_y(), cie.cie_z()], axis=-1).astype(np.float32)
+
+
+def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
+    """One sample's spectral contribution -> linear RGB (R, 3).
+
+    contribution: (R, 4); wl: SampledWavelengths with (R, 4) lam/pdf.
+    Mirrors Sensor::add_sample (sensor.rs:41-78).
+    """
+    cmf = jnp.asarray(_cmf_stack())  # (470, 3)
+    idx = jnp.clip(jnp.floor(wl.lam - grid.LAMBDA_MIN).astype(jnp.int32), 0,
+                   grid.N_DENSE - 1)
+    cmf_vals = cmf[idx]                                  # (R, 4, 3)
+    inv_pdf = jnp.where(wl.pdf > 0.0, 1.0 / jnp.where(wl.pdf > 0.0, wl.pdf, 1.0), 0.0)
+    w = contribution * inv_pdf / 4.0                     # (R, 4)
+    xyz = jnp.einsum("rl,rlc->rc", w, cmf_vals)
+    rgb = color.xyz_to_rgb(xyz, gamut)
+    return rgb * exposure
+
+
+def finalize(accum_rgb, spp: int, tone_map: str = "none", eotf: str = "srgb"):
+    """Accumulated RGB -> display-encoded image (Sensor::to_rgb,
+    sensor.rs:81-88): average, clamp >= 0, tone map, EOTF encode."""
+    avg = jnp.maximum(accum_rgb / float(spp), 0.0)
+    return eotf_mod.encode(tm_mod.apply(avg, tone_map), eotf)

@@ -1,0 +1,261 @@
+"""Light sampling: per-wavelength power CDF, NEE contributions, MIS pdfs.
+
+Replaces the reference's per-NEE-event LightSampler construction
+(scene/src/light_sampler.rs:168-220 — rebuilt per shadow ray!) with one
+vectorized weight computation per ray batch: phi(lambda) for every light is
+a dense-bank gather + multiply, so the (R, L) weight table costs one fused
+elementwise pass.
+
+The MIS weights here include the light-selection probability on BOTH the
+NEE and BSDF sides.  The reference omits the selection probability on the
+NEE side (mis_renderer.rs:101 + common.rs:160-171) — an inconsistency that
+is invisible for its single-area-light scenes but biased for multi-light
+scenes; we implement the consistent estimator (identical results when one
+light of a type exists).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import trace
+from ..scene.types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV,
+                           LIGHT_POINT, LIGHT_SPOT, SceneData, SceneMeta)
+from ..spectrum import grid as sgrid
+from ..spectrum import rgb2spec
+from ..utils.math import dot, normalize, to_frame
+from . import bsdf as bsdf_mod
+
+RAY_EPS_NEE = 1.0e-4   # ref: renderer/src/renderer/common.rs:12
+BIG_T = 3.0e38
+
+# max triangles per single area light for the masked CDF scan (static);
+# demo scenes use 1-2 triangle lights
+MAX_AREA_LIGHT_TRIS = 8
+
+
+class NeeResult(NamedTuple):
+    contribution: jnp.ndarray  # (R, 4)
+    mis_weight: jnp.ndarray    # (R,)
+
+
+def _phi_lambda(scene: SceneData, wl):
+    """(R, L): mean-over-lanes spectral power per light."""
+    rows = scene.lights.spectrum_row                      # (L,)
+    spd = scene.spectra[rows]                             # (L, 470)
+    idx = jnp.clip(jnp.floor(wl.lam - sgrid.LAMBDA_MIN).astype(jnp.int32),
+                   0, sgrid.N_DENSE - 1)                  # (R, 4)
+    vals = spd[:, idx]                                    # (L, R, 4)
+    phi = vals.mean(-1).T * scene.lights.phi_scale[None, :]  # (R, L)
+    return phi
+
+
+def pick_light(scene: SceneData, meta: SceneMeta, wl, u):
+    """Sample a light row per ray from the power CDF.
+
+    Returns (light_row (R,) i32, probability (R,), any_light (R,) bool).
+    (ref: LightSampler::sample_light, light_sampler.rs:26-44)
+    """
+    n_lights = meta.n_lights
+    r = u.shape[0]
+    if n_lights == 0:
+        z = jnp.zeros(r)
+        return jnp.zeros(r, jnp.int32), z, jnp.zeros(r, bool)
+    w = _phi_lambda(scene, wl)                            # (R, L)
+    total = w.sum(-1)
+    cdf = jnp.cumsum(w, -1) / jnp.maximum(total, 1e-20)[:, None]
+    row = jnp.sum((u[:, None] >= cdf[:, :-1]).astype(jnp.int32), -1) \
+        if n_lights > 1 else jnp.zeros(r, jnp.int32)
+    prob = jnp.take_along_axis(w, row[:, None], -1)[:, 0] / jnp.maximum(total, 1e-20)
+    return row, prob, total > 0.0
+
+
+def light_probability(scene: SceneData, meta: SceneMeta, wl, light_row):
+    """Selection probability of a given light row (ref: probability,
+    light_sampler.rs:47-62)."""
+    w = _phi_lambda(scene, wl)
+    total = w.sum(-1)
+    pw = jnp.take_along_axis(w, jnp.maximum(light_row, 0)[:, None], -1)[:, 0]
+    return jnp.where(light_row >= 0, pw / jnp.maximum(total, 1e-20), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# NEE
+# ---------------------------------------------------------------------------
+
+def _sample_area_point(scene: SceneData, light_row, s, uv2):
+    """Uniform-area point on an area light (emissive_triangle_mesh.rs:176-230).
+
+    Returns (p (R,3), light_normal (R,3), tri (R,), ok)."""
+    first = scene.lights.area_first_tri[light_row]
+    n_tris = scene.lights.area_n_tris[light_row]
+    # masked CDF scan over the light's triangles
+    at = jnp.zeros_like(light_row)
+    for k in range(MAX_AREA_LIGHT_TRIS):
+        i = jnp.clip(first + k, 0, scene.area_tri.shape[0] - 1)
+        below = (k < n_tris - 1) & (s >= scene.area_tri_cdf[i])
+        at = jnp.where(below, k + 1, at)
+    gi = jnp.clip(first + at, 0, scene.area_tri.shape[0] - 1)
+    tri = scene.area_tri[gi]
+
+    # barycentric warp (emissive_triangle_mesh.rs:199-209)
+    u0, u1 = uv2[:, 0], uv2[:, 1]
+    b0 = jnp.where(u0 < u1, u0 / 2.0, u0 - u1 / 2.0)
+    b1 = jnp.where(u0 < u1, u1 - u0 / 2.0, u1 / 2.0)
+    b2 = 1.0 - b0 - b1
+
+    p0 = scene.bvh.p0[tri]
+    p1 = scene.bvh.p1[tri]
+    p2 = scene.bvh.p2[tri]
+    p = b0[:, None] * p0 + b1[:, None] * p1 + b2[:, None] * p2
+    n = normalize(jnp.cross(p1 - p0, p2 - p0))
+    return p, n, tri
+
+
+def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
+                 u_light, u_s, u_uv, with_mis: bool) -> NeeResult:
+    """One NEE event for every ray (masked by light types present).
+
+    Mirrors evaluate_next_event_estimation[_with_mis]
+    (nee_renderer.rs:19-104, mis_renderer.rs:21-123) with ONE shadow-ray
+    batch for all rays.
+    """
+    r = wo_t.shape[0]
+    zero = NeeResult(jnp.zeros((r, 4)), jnp.ones(r))
+    if meta.n_lights == 0:
+        return zero
+
+    light_row, prob, any_l = pick_light(scene, meta, wl, u_light)
+    lt = scene.lights.light_type[light_row]
+    l_spd = scene.spectra[scene.lights.spectrum_row[light_row]]   # (R, 470)
+    l_spec = sgrid.eval_dense(l_spd, wl.lam)                      # (R, 4)
+    l_int = scene.lights.intensity[light_row]
+
+    types = set(meta.light_types)
+
+    # --- shadow ray setup per light type (masked) -------------------------
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3))
+    t_max = jnp.full((r,), BIG_T)
+    dist2 = jnp.ones(r)
+    # radiance factor: the (R, 4) light term before 1/prob and the BSDF
+    light_term = jnp.zeros((r, 4))
+    pdf_dir = jnp.ones(r)   # direction pdf for MIS (area/env)
+    is_delta = jnp.ones(r, bool)
+
+    if LIGHT_POINT in types or LIGHT_SPOT in types:
+        lp = scene.lights.position[light_row]
+        dvec = lp - it.position
+        d2 = jnp.maximum(dot(dvec, dvec), 1e-12)
+        wdir = dvec / jnp.sqrt(d2)[:, None]
+        m = (lt == LIGHT_POINT) | (lt == LIGHT_SPOT)
+        # point: I*spec/d^2 (common.rs:23-52); spot adds smoothstep falloff
+        inten = l_spec * l_int[:, None]
+        if LIGHT_SPOT in types:
+            axis = scene.lights.direction[light_row]
+            cos_t = dot(-wdir, axis)
+            ci = scene.lights.cos_inner[light_row]
+            co = scene.lights.cos_outer[light_row]
+            tt = jnp.clip((cos_t - co) / jnp.maximum(ci - co, 1e-8), 0.0, 1.0)
+            falloff = tt * tt * (3.0 - 2.0 * tt)
+            inten = jnp.where((lt == LIGHT_SPOT)[:, None],
+                              inten * falloff[:, None], inten)
+        wi = jnp.where(m[:, None], wdir, wi)
+        dist = jnp.sqrt(d2)
+        t_max = jnp.where(m, dist - 2.0 * RAY_EPS_NEE, t_max)
+        light_term = jnp.where(m[:, None], inten / d2[:, None], light_term)
+
+    if LIGHT_DIRECTIONAL in types:
+        m = lt == LIGHT_DIRECTIONAL
+        ldir = scene.lights.direction[light_row]
+        wi = jnp.where(m[:, None], ldir, wi)
+        t_max = jnp.where(m, BIG_T, t_max)
+        light_term = jnp.where(m[:, None], l_spec * l_int[:, None], light_term)
+
+    if LIGHT_AREA in types:
+        m = lt == LIGHT_AREA
+        p, ln, _tri = _sample_area_point(scene, light_row, u_s, u_uv)
+        dvec = p - it.position
+        d2 = jnp.maximum(dot(dvec, dvec), 1e-12)
+        wdir = dvec / jnp.sqrt(d2)[:, None]
+        cos_l = jnp.abs(dot(ln, -wdir))
+        area_total = jnp.maximum(scene.lights.area_total[light_row], 1e-12)
+        pdf_area = 1.0 / area_total                       # :284-288
+        g = cos_l / d2                                    # geometric term
+        # radiance = emission spd * scale (UniformEdf)
+        le = l_spec * l_int[:, None]
+        wi = jnp.where(m[:, None], wdir, wi)
+        t_max = jnp.where(m, jnp.sqrt(d2) - 2.0 * RAY_EPS_NEE, t_max)
+        light_term = jnp.where(m[:, None], le * (g / pdf_area)[:, None],
+                               light_term)
+        pdf_dir_area = pdf_area * d2 / jnp.maximum(cos_l, 1e-8)  # :292
+        pdf_dir = jnp.where(m, pdf_dir_area, pdf_dir)
+        is_delta = is_delta & ~m
+
+    if LIGHT_ENV in types and scene.env is not None:
+        m = lt == LIGHT_ENV
+        from .env import sample_env_direction
+        wdir, le, p_dir = sample_env_direction(scene, wl, u_uv)
+        wi = jnp.where(m[:, None], wdir, wi)
+        t_max = jnp.where(m, BIG_T, t_max)
+        light_term = jnp.where(m[:, None],
+                               le / jnp.maximum(p_dir, 1e-12)[:, None],
+                               light_term)
+        pdf_dir = jnp.where(m, p_dir, pdf_dir)
+        is_delta = is_delta & ~m
+
+    # --- one batched shadow ray ------------------------------------------
+    shadow_o = it.position + wi * RAY_EPS_NEE
+    occluded = trace.intersect_p(scene.bvh, shadow_o, wi, t_max)
+    visible = ~occluded & any_l & it.valid
+
+    # --- BSDF factor ------------------------------------------------------
+    wi_t = to_frame(frame, wi)
+    f, pdf_bsdf = bsdf_mod.evaluate_material(scene, meta, it, frame, wo_t,
+                                             wi_t, wl)
+    contrib = f * light_term / jnp.maximum(prob, 1e-12)[:, None]
+    contrib = jnp.where(visible[:, None], contrib, 0.0)
+
+    if with_mis:
+        w = jnp.where(is_delta, 1.0,
+                      _balance(prob * pdf_dir, pdf_bsdf))
+        w = jnp.where(visible, w, 1.0)
+    else:
+        w = jnp.ones(r)
+    return NeeResult(contribution=contrib, mis_weight=w)
+
+
+def _balance(pdf_a, pdf_b):
+    """Balance heuristic with 0/0 -> 0 (common.rs:15-20)."""
+    s = pdf_a + pdf_b
+    return jnp.where(s > 0.0, pdf_a / jnp.where(s > 0.0, s, 1.0), 0.0)
+
+
+def pdf_light_for_hit(scene: SceneData, meta: SceneMeta, prev_it, next_it, wl):
+    """Direction pdf of NEE having sampled the point we hit by BSDF sampling
+    — selection probability x area pdf x area->solid-angle Jacobian
+    (Scene::pdf_light_sample, scene.rs:156-182).  (R,) zeros for non-light
+    hits."""
+    light_row = next_it.light_id
+    is_area = (light_row >= 0) & next_it.valid
+    prob = light_probability(scene, meta, wl, light_row)
+    area_total = jnp.maximum(scene.lights.area_total[jnp.maximum(light_row, 0)],
+                             1e-12)
+    dvec = prev_it.position - next_it.position
+    d2 = jnp.maximum(dot(dvec, dvec), 1e-12)
+    cos_l = jnp.abs(dot(next_it.geo_n, normalize(dvec)))
+    pdf_dir = (1.0 / area_total) * d2 / jnp.maximum(cos_l, 1e-8)
+    return jnp.where(is_area, prob * pdf_dir, 0.0)
+
+
+def pdf_env_for_direction(scene: SceneData, meta: SceneMeta, wl, direction):
+    """Summed pdf over infinite lights for a BSDF-sampled escape direction
+    (Scene::pdf_infinite_light_sample, scene.rs:185-210)."""
+    if not meta.has_env:
+        return jnp.zeros(direction.shape[0])
+    from .env import env_pdf_direction
+    env_rows = [i for i, t in enumerate(meta.light_types) if t == LIGHT_ENV]
+    row = jnp.full(direction.shape[:1], env_rows[0], jnp.int32)
+    prob = light_probability(scene, meta, wl, row)
+    return prob * env_pdf_direction(scene, direction)

@@ -35,8 +35,11 @@ def eval_dense(values, lam):
     idx = jnp.floor(lam - LAMBDA_MIN).astype(jnp.int32)
     in_range = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
     idx = jnp.clip(idx, 0, N_DENSE - 1)
-    v = jnp.take(values, idx, axis=-1) if values.ndim == 1 else jnp.take_along_axis(
-        values, idx[..., None], axis=-1)[..., 0]
+    if values.ndim == 1:
+        v = jnp.take(values, idx, axis=-1)
+    else:
+        # values (..., 470) with idx (..., L): gather along the last axis
+        v = jnp.take_along_axis(values, idx, axis=-1)
     return jnp.where(in_range, v, 0.0)
 
 
