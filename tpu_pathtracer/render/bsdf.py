@@ -145,6 +145,286 @@ def _lambert_eval(scene, it, wo_t, wi_t, wl, nm_frame):
 
 
 # ---------------------------------------------------------------------------
+# Conductor / Metal (ref: bsdf/conductor.rs + metal_material.rs)
+# ---------------------------------------------------------------------------
+
+SMOOTH_ALPHA = 1e-3   # effectively_smooth threshold (conductor.rs:154-156)
+
+
+def _metal_eta_k(scene, it, wl):
+    m = scene.materials
+    eta_row = jnp.maximum(m.eta_row[it.mat_id], 0)
+    k_row = jnp.maximum(m.k_row[it.mat_id], 0)
+    eta = sgrid.eval_dense(scene.spectra[eta_row], wl.lam)
+    k = sgrid.eval_dense(scene.spectra[k_row], wl.lam)
+    return eta, k
+
+
+def _metal_sample(scene, it, wo_t, uv2, wl, nm_frame):
+    from . import microfacet as mf
+    eta, k = _metal_eta_k(scene, it, wl)
+    rough = _roughness(scene, it)
+    alpha = rough * rough            # metal_material.rs:80-82
+    smooth = alpha < SMOOTH_ALPHA
+    wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
+
+    # specular branch (conductor.rs:274-295): wi = mirror, f = F, pdf = 1
+    wi_s = wo * jnp.asarray([-1.0, -1.0, 1.0])
+    f_s = mf.fresnel_complex(jnp.abs(wi_s[:, 2]), eta, k)
+
+    # microfacet branch (conductor.rs:297-351)
+    wm = mf.sample_vndf(wo, uv2, alpha, alpha)
+    wi_m = mf.reflect(wo, wm)
+    same = mf.same_hemisphere(wo, wi_m)
+    f_m = _torrance_sparrow_f(wo, wi_m, wm, eta, k, alpha)
+    pdf_m = mf.vndf_pdf(wo, wm, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wm)), 1e-12)
+
+    f = jnp.where(smooth[:, None], f_s, jnp.where(same[:, None], f_m, 0.0))
+    wi = jnp.where(smooth[:, None], wi_s, wi_m)
+    pdf = jnp.where(smooth, 1.0, pdf_m)
+    ok = (wo[:, 2] != 0.0) & (smooth | (same & (pdf_m > 0.0)))
+    wi_t = from_frame(nm_frame, wi) if nm_frame is not None else wi
+    return f, wi_t, pdf, ok, smooth
+
+
+def _torrance_sparrow_f(wo, wi, wm, eta, k, alpha):
+    from . import microfacet as mf
+    cos_o = jnp.abs(wo[:, 2])
+    fres = mf.fresnel_complex(jnp.abs(dot(wo, wm)), eta, k)
+    d = mf.distribution_d(wm, alpha, alpha)
+    g = mf.g2(wo, wi, alpha, alpha)
+    f = fres * (d * g / jnp.maximum(4.0 * cos_o, 1e-12))[:, None]
+    return jnp.where((cos_o > 0.0)[:, None], f, 0.0)
+
+
+def _metal_eval(scene, it, wo_t, wi_t, wl, nm_frame):
+    from . import microfacet as mf
+    eta, k = _metal_eta_k(scene, it, wl)
+    rough = _roughness(scene, it)
+    alpha = rough * rough
+    smooth = alpha < SMOOTH_ALPHA
+    if nm_frame is not None:
+        wo = to_frame(nm_frame, wo_t)
+        wi = to_frame(nm_frame, wi_t)
+    else:
+        wo, wi = wo_t, wi_t
+    wm = wo + wi
+    ok = (~smooth) & mf.same_hemisphere(wo, wi) & (dot(wm, wm) > 0.0) & \
+        (wo[:, 2] != 0.0) & (wi[:, 2] != 0.0)
+    wm = normalize(wm)
+    f = _torrance_sparrow_f(wo, wi, wm, eta, k, alpha)
+    pdf = mf.vndf_pdf(wo, wm, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wm)), 1e-12)
+    return jnp.where(ok[:, None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Dielectric: glass (measured dispersive eta) and plastic (constant eta+tint)
+# (ref: bsdf/dielectric.rs + glass_material.rs + plastic_material.rs)
+# ---------------------------------------------------------------------------
+
+def _dielectric_eta(scene, it, wl, dispersive: bool):
+    """(R, 4) absolute IOR of the medium."""
+    m = scene.materials
+    if dispersive:
+        row = jnp.maximum(m.eta_row[it.mat_id], 0)
+        return sgrid.eval_dense(scene.spectra[row], wl.lam)
+    return jnp.broadcast_to(m.const_eta[it.mat_id][:, None], wl.lam.shape)
+
+
+def _dielectric_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
+                       dispersive: bool, tinted: bool):
+    """DielectricBsdf::sample batched (dielectric.rs:168-527).
+
+    Returns (f, wi_t, pdf, ok, specular, terminate) — terminate marks
+    dispersive transmission events that collapse secondary wavelengths
+    (dielectric.rs:500-502,610-613).
+    """
+    from . import microfacet as mf
+    r = wo_t.shape[0]
+    n_abs = _dielectric_eta(scene, it, wl, dispersive)    # absolute IOR
+    entering = dot(it.geo_n, it.wo) > 0.0                 # glass_material.rs:119
+    thin = scene.materials.thin[it.mat_id] > 0
+    rough = _roughness(scene, it)
+    alpha = rough                                          # raw (glass_material.rs:124)
+    smooth = alpha < SMOOTH_ALPHA
+
+    wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
+
+    # relative IOR spectrum: entering or thin -> n, leaving -> 1/n
+    eta_rel = jnp.where((entering | thin)[:, None], n_abs, 1.0 / n_abs)
+    eta_scalar = eta_rel[:, 0]
+
+    # ---- smooth path (dielectric.rs:416-527) -----------------------------
+    n_vec = jnp.where(entering[:, None],
+                      jnp.asarray([0.0, 0.0, 1.0]),
+                      jnp.asarray([0.0, 0.0, -1.0])) * jnp.ones((r, 1))
+    fres_s = mf.fresnel_dielectric(jnp.abs(wo[:, 2]), eta_rel)
+    avg_f_s = jnp.mean(fres_s, -1)
+    pr_s, pt_s = _refl_trans_probs(avg_f_s, thin)
+    choose_refl_s = uc < pr_s / jnp.maximum(pr_s + pt_s, 1e-12)
+    wi_refl = wo * jnp.asarray([-1.0, -1.0, 1.0])
+    wt, refract_ok = mf.refract(wo, n_vec, eta_scalar)
+    wi_thin_t = -wo
+    f_refl_s = fres_s
+    # transmit: thin -> (1-F); solid -> (1-F)/eta^2 (radiance scaling :511)
+    f_trans_s = jnp.where(thin[:, None], 1.0 - fres_s,
+                          (1.0 - fres_s) / (eta_scalar ** 2)[:, None])
+    wi_s = jnp.where(choose_refl_s[:, None], wi_refl,
+                     jnp.where(thin[:, None], wi_thin_t, wt))
+    f_s = jnp.where(choose_refl_s[:, None], f_refl_s, f_trans_s)
+    pdf_s = jnp.where(choose_refl_s, pr_s / jnp.maximum(pr_s + pt_s, 1e-12),
+                      pt_s / jnp.maximum(pr_s + pt_s, 1e-12))
+    ok_s = jnp.where(choose_refl_s, jnp.abs(wo[:, 2]) > 1e-6,
+                     thin | refract_ok)
+
+    # ---- rough path (dielectric.rs:236-412) ------------------------------
+    wm = mf.sample_vndf(wo, uv2, alpha, alpha)
+    fres_m = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
+    avg_f_m = jnp.mean(fres_m, -1)
+    pr_m, pt_m = _refl_trans_probs(avg_f_m, thin)
+    choose_refl_m = uc < pr_m / jnp.maximum(pr_m + pt_m, 1e-12)
+
+    # reflection lobe
+    wi_mr = mf.reflect(wo, wm)
+    same_r = mf.same_hemisphere(wo, wi_mr)
+    d = mf.distribution_d(wm, alpha, alpha)
+    g_r = mf.g2(wo, wi_mr, alpha, alpha)
+    cos_o = jnp.maximum(jnp.abs(wo[:, 2]), 1e-12)
+    prob_r = pr_m / jnp.maximum(pr_m + pt_m, 1e-12)
+    # f = F D G / (4 cos_o): with the f-includes-cosine convention the
+    # explicit cos_i cancels (the reference's dielectric *sample* multiplies
+    # an extra |cos_i| that its own evaluate() and the conductor lack,
+    # dielectric.rs:318 vs :588 — we implement the consistent form)
+    f_mr = fres_m * (d * g_r / (4.0 * cos_o))[:, None]
+    pdf_mr = mf.vndf_pdf(wo, wm, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wm)), 1e-12) * prob_r
+    ok_mr = same_r & (jnp.abs(dot(wo, wm)) > 1e-6)
+
+    # transmission lobe (dielectric.rs:329-363)
+    wm_refr = jnp.where(entering[:, None], wm, -wm)
+    wi_mt, refr_ok_m = mf.refract(wo, wm_refr, eta_scalar)
+    prob_t = pt_m / jnp.maximum(pr_m + pt_m, 1e-12)
+    # thin rough transmission is pass-through (dielectric.rs:366-389)
+    wi_mt = jnp.where(thin[:, None], -wo, wi_mt)
+    denom = (dot(wi_mt, wm) + dot(wo, wm) / eta_scalar) ** 2
+    dwm_dwi = jnp.abs(dot(wi_mt, wm)) / jnp.maximum(denom, 1e-12)
+    g_t = mf.g2(wo, wi_mt, alpha, alpha)
+    f_mt_solid = (1.0 - fres_m) * (
+        d * g_t * jnp.abs(dot(wi_mt, wm)) * jnp.abs(dot(wo, wm))
+        / (jnp.maximum(denom, 1e-12) * cos_o * eta_scalar ** 2))[:, None]
+    pdf_mt_solid = mf.vndf_pdf(wo, wm, alpha, alpha) * dwm_dwi * prob_t
+    f_mt = jnp.where(thin[:, None], 1.0 - fres_m, f_mt_solid)
+    pdf_mt = jnp.where(thin, prob_t, pdf_mt_solid)
+    ok_mt = jnp.where(thin, jnp.ones(r, bool),
+                      refr_ok_m & ~mf.same_hemisphere(wo, wi_mt) &
+                      (jnp.abs(wi_mt[:, 2]) > 0.0))
+
+    wi_m = jnp.where(choose_refl_m[:, None], wi_mr, wi_mt)
+    f_m = jnp.where(choose_refl_m[:, None], f_mr, f_mt)
+    pdf_m = jnp.where(choose_refl_m, pdf_mr, pdf_mt)
+    ok_m = jnp.where(choose_refl_m, ok_mr, ok_mt)
+
+    # ---- merge smooth/rough ---------------------------------------------
+    choose_refl = jnp.where(smooth, choose_refl_s, choose_refl_m)
+    wi = jnp.where(smooth[:, None], wi_s, wi_m)
+    f = jnp.where(smooth[:, None], f_s, f_m)
+    pdf = jnp.where(smooth, pdf_s, pdf_m)
+    ok = jnp.where(smooth, ok_s, ok_m) & (wo[:, 2] != 0.0)
+    specular = smooth
+
+    # plastic tint on transmission (plastic_material.rs:166-170; we use the
+    # surface uv, fixing the reference's use of the random sample as uv)
+    if tinted:
+        tint = _albedo_spectrum(scene, it, wl)
+        transmitted = dot(wi, wo) < 0.0
+        f = jnp.where((transmitted & ~choose_refl)[:, None], f * tint, f)
+
+    # dispersive transmission terminates secondary wavelengths
+    terminate = (~choose_refl) & ok if dispersive else jnp.zeros(r, bool)
+
+    wi_t = from_frame(nm_frame, wi) if nm_frame is not None else wi
+    return f, wi_t, pdf, ok, specular, terminate
+
+
+def _refl_trans_probs(avg_fresnel, thin):
+    """(pr, pt); thin surfaces use the geometric-series cumulative R'
+    (dielectric.rs:398-412)."""
+    r = avg_fresnel
+    t = 1.0 - r
+    r2 = r * r
+    r_thin = jnp.where(r2 > 1.0, 1.0, r + (t * t * r) / jnp.maximum(1.0 - r2, 1e-12))
+    pr = jnp.where(thin, r_thin, r)
+    pt = t
+    return pr, pt
+
+
+def _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame, dispersive: bool,
+                     tinted: bool):
+    """evaluate + pdf for rough dielectrics (dielectric.rs:532-646);
+    zero for smooth (delta)."""
+    from . import microfacet as mf
+    r = wo_t.shape[0]
+    n_abs = _dielectric_eta(scene, it, wl, dispersive)
+    entering = dot(it.geo_n, it.wo) > 0.0
+    thin = scene.materials.thin[it.mat_id] > 0
+    alpha = _roughness(scene, it)
+    smooth = alpha < SMOOTH_ALPHA
+
+    if nm_frame is not None:
+        wo = to_frame(nm_frame, wo_t)
+        wi = to_frame(nm_frame, wi_t)
+    else:
+        wo, wi = wo_t, wi_t
+
+    eta_rel = jnp.where((entering | thin)[:, None], n_abs, 1.0 / n_abs)
+    eta_scalar = eta_rel[:, 0]
+
+    cos_o = wo[:, 2]
+    cos_i = wi[:, 2]
+    is_refl = cos_i * cos_o > 0.0
+
+    # generalized half vector (dielectric.rs:195-231)
+    etap = jnp.where(is_refl, 1.0, jnp.where(cos_o > 0.0, eta_scalar,
+                                             1.0 / eta_scalar))
+    wm = wi * etap[:, None] + wo
+    ok = (cos_i != 0.0) & (cos_o != 0.0) & (dot(wm, wm) > 0.0) & ~smooth
+    wm = normalize(wm)
+    wm = jnp.where((wm[:, 2] < 0.0)[:, None], -wm, wm)
+    ok = ok & (dot(wm, wi) * cos_i >= 0.0) & (dot(wm, wo) * cos_o >= 0.0)
+
+    fres = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
+    avg_f = jnp.mean(fres, -1)
+    pr, pt = _refl_trans_probs(avg_f, thin)
+    d = mf.distribution_d(wm, alpha, alpha)
+    g = mf.g2(wo, wi, alpha, alpha)
+    aco = jnp.maximum(jnp.abs(cos_o), 1e-12)
+
+    f_refl = fres * (d * g / (4.0 * aco))[:, None]
+    denom = (dot(wi, wm) + dot(wo, wm) / eta_scalar) ** 2
+    f_trans = (1.0 - fres) * (
+        d * g * jnp.abs(dot(wi, wm)) * jnp.abs(dot(wo, wm))
+        / (jnp.maximum(denom, 1e-12) * aco * eta_scalar ** 2))[:, None]
+    f = jnp.where(is_refl[:, None], f_refl, f_trans)
+
+    vnd = mf.vndf_pdf(wo, wm, alpha, alpha)
+    pdf_refl = vnd / jnp.maximum(4.0 * jnp.abs(dot(wo, wm)), 1e-12) \
+        * pr / jnp.maximum(pr + pt, 1e-12)
+    dwm_dwi = jnp.abs(dot(wi, wm)) / jnp.maximum(denom, 1e-12)
+    pdf_trans_solid = vnd * dwm_dwi * pt / jnp.maximum(pr + pt, 1e-12)
+    pdf_trans = jnp.where(thin, pt / jnp.maximum(pr + pt, 1e-12),
+                          pdf_trans_solid)
+    pdf = jnp.where(is_refl, pdf_refl, pdf_trans)
+
+    if tinted:
+        tint = _albedo_spectrum(scene, it, wl)
+        f = jnp.where((~is_refl)[:, None], f * tint, f)
+
+    return jnp.where(ok[:, None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # Public dispatch API
 # ---------------------------------------------------------------------------
 
@@ -175,15 +455,40 @@ def sample_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
     specular = jnp.zeros(r, bool)
     out_wl = wl
 
+    terminate = jnp.zeros(r, bool)
     kinds = set(meta.present_mat_kinds)
+
+    def merge(m, kf, kwi, kpdf, kok, kspec):
+        nonlocal f, wi_t, pdf, sampled, specular
+        f = jnp.where(m[:, None], kf, f)
+        wi_t = jnp.where(m[:, None], kwi, wi_t)
+        pdf = jnp.where(m, kpdf, pdf)
+        sampled = jnp.where(m, kok, sampled)
+        specular = jnp.where(m, kspec, specular)
+
     if MAT_LAMBERT in kinds:
         lf, lwi, lpdf, lok = _lambert_sample(scene, it, wo_t, uv2, wl, nm_frame)
-        m = (mat_type == MAT_LAMBERT)
-        f = jnp.where(m[:, None], lf, f)
-        wi_t = jnp.where(m[:, None], lwi, wi_t)
-        pdf = jnp.where(m, lpdf, pdf)
-        sampled = jnp.where(m, lok, sampled)
-        # lambert is never specular
+        merge(mat_type == MAT_LAMBERT, lf, lwi, lpdf, lok, jnp.zeros(r, bool))
+    if MAT_METAL in kinds:
+        mf_, mwi, mpdf, mok, mspec = _metal_sample(scene, it, wo_t, uv2, wl,
+                                                   nm_frame)
+        merge(mat_type == MAT_METAL, mf_, mwi, mpdf, mok, mspec)
+    if MAT_GLASS in kinds:
+        gf, gwi, gpdf, gok, gspec, gterm = _dielectric_sample(
+            scene, it, wo_t, uc, uv2, wl, nm_frame, dispersive=True,
+            tinted=False)
+        m = mat_type == MAT_GLASS
+        merge(m, gf, gwi, gpdf, gok, gspec)
+        terminate = terminate | (m & gterm)
+    if MAT_PLASTIC in kinds:
+        pf, pwi, ppdf, pok, pspec, _ = _dielectric_sample(
+            scene, it, wo_t, uc, uv2, wl, nm_frame, dispersive=False,
+            tinted=True)
+        merge(mat_type == MAT_PLASTIC, pf, pwi, ppdf, pok, pspec)
+
+    # dispersion collapse (dielectric.rs:500-502)
+    from ..spectrum.sampled import terminate_secondary
+    out_wl = terminate_secondary(wl, terminate)
 
     # geometric sidedness check for the opaque kinds
     opaque = (mat_type == MAT_LAMBERT) | (mat_type == MAT_METAL) | \
@@ -210,6 +515,23 @@ def evaluate_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
         m = (mat_type == MAT_LAMBERT)
         f = jnp.where(m[:, None], lf, f)
         pdf = jnp.where(m, lpdf, pdf)
+    if MAT_METAL in kinds:
+        mf_, mpdf = _metal_eval(scene, it, wo_t, wi_t, wl, nm_frame)
+        m = (mat_type == MAT_METAL)
+        f = jnp.where(m[:, None], mf_, f)
+        pdf = jnp.where(m, mpdf, pdf)
+    if MAT_GLASS in kinds:
+        gf, gpdf = _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame,
+                                    dispersive=True, tinted=False)
+        m = (mat_type == MAT_GLASS)
+        f = jnp.where(m[:, None], gf, f)
+        pdf = jnp.where(m, gpdf, pdf)
+    if MAT_PLASTIC in kinds:
+        pf, ppdf = _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame,
+                                    dispersive=False, tinted=True)
+        m = (mat_type == MAT_PLASTIC)
+        f = jnp.where(m[:, None], pf, f)
+        pdf = jnp.where(m, ppdf, pdf)
 
     opaque = (mat_type == MAT_LAMBERT) | (mat_type == MAT_METAL) | \
         (mat_type == MAT_PBR) | (mat_type == MAT_CLEARCOAT)

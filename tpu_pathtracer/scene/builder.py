@@ -230,17 +230,22 @@ class SceneBuilder:
         return rgb2spec.get_table("srgb", res=self.table_res)
 
     def _rgb_to_illum_dense(self, rgb: np.ndarray) -> np.ndarray:
-        zn, coeffs = self._table()
-        lam = jnp.asarray(spec.DENSE_LAMBDA, jnp.float32)[None, :]
-        out = rgb2spec.illuminant_eval(
-            jnp.asarray(rgb, jnp.float32)[None, :], lam, zn, coeffs,
-            spec.illum_d6500())
-        return np.asarray(out)[0]
+        import jax
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            zn, coeffs = self._table()
+            lam = jnp.asarray(spec.DENSE_LAMBDA, jnp.float32)[None, :]
+            out = rgb2spec.illuminant_eval(
+                jnp.asarray(rgb, jnp.float32)[None, :], lam, zn, coeffs,
+                spec.illum_d6500())
+            return np.asarray(out)[0]
 
     def _rgb_coeff(self, rgb) -> np.ndarray:
-        zn, coeffs = self._table()
-        c = rgb2spec.lookup_coeffs(jnp.asarray(rgb, jnp.float32)[None, :], zn, coeffs)
-        return np.asarray(c)[0]
+        import jax
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            zn, coeffs = self._table()
+            c = rgb2spec.lookup_coeffs(jnp.asarray(rgb, jnp.float32)[None, :],
+                                       zn, coeffs)
+            return np.asarray(c)[0]
 
     def _add_texture(self, tex: Optional[Texture]) -> int:
         if tex is None:
@@ -262,6 +267,16 @@ class SceneBuilder:
     # -- compile ------------------------------------------------------------
 
     def build(self, camera_position) -> Tuple[SceneData, SceneMeta]:
+        """Compile the scene.  Runs pinned to the host CPU backend: scene
+        compilation is many small ops, and dispatching those through a
+        remote TPU (each one a tunnel round trip) takes minutes; the arrays
+        transfer to the accelerator once, at first render."""
+        import jax
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return self._build_on_host(camera_position)
+
+    def _build_on_host(self, camera_position) -> Tuple[SceneData, SceneMeta]:
         cam_pos = np.asarray(camera_position, np.float64)
 
         # 1. spectra bank: row 0 = normalized D65 (illuminant basis)

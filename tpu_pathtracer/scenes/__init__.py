@@ -108,6 +108,109 @@ def scene_3(sb: SceneBuilder, cam):
     return cam
 
 
+@register(6)
+def scene_6(sb: SceneBuilder, cam):
+    """Smooth gold bunny (scene_6.rs: MetalType::Gold, roughness 0)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Metal(kind="gold", roughness=0.0))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+def _four_on_floor(sb, materials, scale=0.75):
+    """Four small hero meshes left-to-right (scene_7.rs:20-27 layout)."""
+    xs = [-1.3, -0.5, 0.3, 1.1]
+    bun = mesh.bunny()
+    lo = bun.positions.min(0)
+    for x, mat in zip(xs, materials):
+        t = translate(x, -lo[1] * scale, -0.5) @ np.diag([scale] * 3 + [1.0])
+        sb.add_mesh(bun, mat, t)
+
+
+@register(7)
+def scene_7(sb: SceneBuilder, cam):
+    """Four gold bunnies, roughness sweep (scene_7.rs: [0.05,0.25,0.5,0.75])."""
+    add_cornell_box(sb)
+    mats = [sb.add_material(Metal(kind="gold", roughness=r))
+            for r in (0.05, 0.25, 0.5, 0.75)]
+    _four_on_floor(sb, mats)
+    return cam
+
+
+@register(8)
+def scene_8(sb: SceneBuilder, cam):
+    """Smooth SF11 glass bunny (scene_8.rs: GlassType::Sf11, rough 0)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Glass(kind="sf11", roughness=0.0))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(9)
+def scene_9(sb: SceneBuilder, cam):
+    """Smooth plastic bunny, eta 1.8 (scene_9.rs)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Plastic(color=(1.0, 1.0, 1.0), eta=1.8, roughness=0.0))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(10)
+def scene_10(sb: SceneBuilder, cam):
+    """Thin-film plastic bunny, eta 1.8 (scene_10.rs: thin=true)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Plastic(color=(1.0, 1.0, 1.0), eta=1.8, roughness=0.0,
+                                thin=True))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(11)
+def scene_11(sb: SceneBuilder, cam):
+    """Rough SF11 glass bunny (scene_11.rs: roughness 0.2)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Glass(kind="sf11", roughness=0.2))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(12)
+def scene_12(sb: SceneBuilder, cam):
+    """Four BK7 glass bunnies, roughness sweep (scene_12.rs)."""
+    add_cornell_box(sb)
+    mats = [sb.add_material(Glass(kind="bk7", roughness=r))
+            for r in (0.05, 0.25, 0.5, 0.75)]
+    _four_on_floor(sb, mats)
+    return cam
+
+
+@register(13)
+def scene_13(sb: SceneBuilder, cam):
+    """Colored plastic bunny (scene_13.rs: linear rgb (0.4,0.9,1.0), eta 1.5)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Plastic(color=(0.4, 0.9, 1.0), eta=1.5, roughness=0.0))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(14)
+def scene_14(sb: SceneBuilder, cam):
+    """Four colored plastic bunnies (scene_14.rs: colors + roughness sweep)."""
+    add_cornell_box(sb)
+    colors = [(1.0, 0.5, 0.5), (0.5, 1.0, 0.5), (0.5, 0.5, 1.0), (1.0, 0.8, 0.4)]
+    roughs = (0.05, 0.1, 0.3, 0.5)
+    mats = [sb.add_material(Plastic(color=c, eta=1.5, roughness=r))
+            for c, r in zip(colors, roughs)]
+    _four_on_floor(sb, mats)
+    return cam
+
+
 @register(5)
 def scene_5(sb: SceneBuilder, cam):
     """Constant color + normal map (scene_5.rs)."""
