@@ -425,6 +425,266 @@ def _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame, dispersive: bool,
 
 
 # ---------------------------------------------------------------------------
+# Generalized Schlick (Adobe Fresnel model) — R-only mode, used by PBR + coat
+# (ref: bsdf/generalized_schlick.rs:92-116; the RT scatter mode exists in the
+# reference but is not reachable from any material, so only R is implemented)
+# ---------------------------------------------------------------------------
+
+def _schlick_fresnel(cos_theta, r0, r90, exponent, tint):
+    """F = r0 + (r90-r0)(1-cos)^exp - a cos (1-cos)^6, Lazanyi dip term
+    (generalized_schlick.rs:92-116).  cos_theta: (R,); spectra (R, 4)."""
+    c = jnp.clip(cos_theta, 0.0, 1.0)[:, None]
+    omc = 1.0 - c
+    cos_max = 1.0 / 7.0
+    omc_max = 1.0 - cos_max
+    base = r0 + (r90 - r0) * omc ** exponent
+    f_max = r0 + (r90 - r0) * omc_max ** exponent
+    a = f_max * (1.0 - tint) / (cos_max * omc_max ** 6)
+    return base - a * c * omc ** 6
+
+
+def _schlick_r_sample(wo, uv2, alpha, r0, r90, tint, exponent=5.0):
+    """Sample the R-only generalized-Schlick lobe (smooth -> delta).
+
+    Returns (f, wi, pdf, ok, specular) in the local (normal-map) frame.
+    """
+    from . import microfacet as mf
+    smooth = alpha < SMOOTH_ALPHA
+    # specular
+    wi_s = wo * jnp.asarray([-1.0, -1.0, 1.0])
+    f_s = _schlick_fresnel(jnp.abs(wi_s[:, 2]), r0, r90, exponent, tint)
+    # microfacet torrance-sparrow with Schlick fresnel
+    wm = mf.sample_vndf(wo, uv2, alpha, alpha)
+    wi_m = mf.reflect(wo, wm)
+    same = mf.same_hemisphere(wo, wi_m)
+    cos_o = jnp.maximum(jnp.abs(wo[:, 2]), 1e-12)
+    fres = _schlick_fresnel(jnp.abs(dot(wo, wm)), r0, r90, exponent, tint)
+    d = mf.distribution_d(wm, alpha, alpha)
+    g = mf.g2(wo, wi_m, alpha, alpha)
+    f_m = fres * (d * g / (4.0 * cos_o))[:, None]
+    pdf_m = mf.vndf_pdf(wo, wm, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wm)), 1e-12)
+
+    f = jnp.where(smooth[:, None], f_s, jnp.where(same[:, None], f_m, 0.0))
+    wi = jnp.where(smooth[:, None], wi_s, wi_m)
+    pdf = jnp.where(smooth, 1.0, pdf_m)
+    ok = (wo[:, 2] != 0.0) & (smooth | (same & (pdf_m > 0.0)))
+    return f, wi, pdf, ok, smooth
+
+
+def _schlick_r_eval(wo, wi, alpha, r0, r90, tint, exponent=5.0):
+    from . import microfacet as mf
+    smooth = alpha < SMOOTH_ALPHA
+    wm = wo + wi
+    ok = (~smooth) & mf.same_hemisphere(wo, wi) & (dot(wm, wm) > 0.0) & \
+        (wo[:, 2] != 0.0) & (wi[:, 2] != 0.0)
+    wm = normalize(wm)
+    cos_o = jnp.maximum(jnp.abs(wo[:, 2]), 1e-12)
+    fres = _schlick_fresnel(jnp.abs(dot(wo, wm)), r0, r90, exponent, tint)
+    d = mf.distribution_d(wm, alpha, alpha)
+    g = mf.g2(wo, wi, alpha, alpha)
+    f = fres * (d * g / (4.0 * cos_o))[:, None]
+    pdf = mf.vndf_pdf(wo, wm, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wm)), 1e-12)
+    return jnp.where(ok[:, None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# SimplePbr: metallic Schlick lobe + dielectric (Schlick specular / Lambert
+# diffuse Fresnel-weighted mix) (ref: simple_pbr_material.rs:280-537)
+# ---------------------------------------------------------------------------
+
+def _pbr_params(scene, it, wl):
+    m = scene.materials
+    base = _albedo_spectrum(scene, it, wl)                # (R, 4)
+    metallic = m.metallic[it.mat_id]
+    tex_ids = m.metallic_tex[it.mat_id]
+    if len(scene.textures):
+        t = tex_mod.sample_indexed(scene.textures, tex_ids, it.uv, 1,
+                                   jnp.zeros(1))[:, 0]
+        metallic = jnp.where(tex_ids >= 0, t, metallic)
+    rough = _roughness(scene, it)
+    alpha = rough * rough                                  # :55-57
+    ior = m.const_eta[it.mat_id]
+    r = (ior - 1.0) / (ior + 1.0)
+    r0_diel = (r * r)[:, None] * jnp.ones_like(base)       # :61-64
+    return base, metallic, alpha, r0_diel
+
+
+def _one(x):
+    return jnp.ones_like(x)
+
+
+def _pbr_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
+                alpha=None, params=None):
+    """sample_mixed (simple_pbr_material.rs:379-409): uc<=metallic -> metal
+    lobe; else dielectric with Fresnel-weighted specular/diffuse choice."""
+    wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
+    base, metallic, alpha_p, r0_diel = params or _pbr_params(scene, it, wl)
+    if alpha is None:
+        alpha = alpha_p
+    one = jnp.ones_like(base)
+
+    pick_metal = uc <= metallic
+    uc_d = jnp.clip((uc - metallic) / jnp.maximum(1.0 - metallic, 1e-8), 0.0, 1.0)
+
+    # metal lobe: r0 = base color (:280-296)
+    f_m, wi_m, pdf_m, ok_m, spec_m = _schlick_r_sample(wo, uv2, alpha,
+                                                       base, one, one)
+    # dielectric: specular with prob F̄(wo) else diffuse (:313-376)
+    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
+    pick_spec = uc_d < fbar
+    f_s, wi_s, pdf_s, ok_s, spec_s = _schlick_r_sample(wo, uv2, alpha,
+                                                       r0_diel, one, one)
+    pdf_s = pdf_s * fbar
+    # diffuse lobe
+    wi_d = sample_cosine_hemisphere(uv2)
+    flip = wo[:, 2] < 0.0
+    wi_d = jnp.where(flip[:, None], wi_d * jnp.asarray([1.0, 1.0, -1.0]), wi_d)
+    cos_d = jnp.abs(wi_d[:, 2])
+    f_d = base * (cos_d * INV_PI)[:, None] * (1.0 - fbar)[:, None]
+    pdf_d = cos_d * INV_PI * (1.0 - fbar)
+    ok_d = (wo[:, 2] != 0.0) & (wi_d[:, 2] != 0.0)
+
+    f = jnp.where(pick_metal[:, None], f_m,
+                  jnp.where(pick_spec[:, None], f_s, f_d))
+    wi = jnp.where(pick_metal[:, None], wi_m,
+                   jnp.where(pick_spec[:, None], wi_s, wi_d))
+    pdf = jnp.where(pick_metal, pdf_m, jnp.where(pick_spec, pdf_s, pdf_d))
+    ok = jnp.where(pick_metal, ok_m, jnp.where(pick_spec, ok_s, ok_d))
+    spec = jnp.where(pick_metal, spec_m, jnp.where(pick_spec, spec_s, False))
+
+    wi_t = from_frame(nm_frame, wi) if nm_frame is not None else wi
+    return f, wi_t, pdf, ok, spec
+
+
+def _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame, alpha=None, params=None):
+    """metallic lerp of metal lobe and (schlick + (1-F̄) lambert)
+    (:146-202, :437-537)."""
+    if nm_frame is not None:
+        wo = to_frame(nm_frame, wo_t)
+        wi = to_frame(nm_frame, wi_t)
+    else:
+        wo, wi = wo_t, wi_t
+    base, metallic, alpha_p, r0_diel = params or _pbr_params(scene, it, wl)
+    if alpha is None:
+        alpha = alpha_p
+    one = jnp.ones_like(base)
+
+    f_metal, pdf_metal = _schlick_r_eval(wo, wi, alpha, base, one, one)
+    f_spec, pdf_spec = _schlick_r_eval(wo, wi, alpha, r0_diel, one, one)
+    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
+    # lambert component
+    cos_o, cos_i = wo[:, 2], wi[:, 2]
+    same = (jnp.sign(cos_o) == jnp.sign(cos_i)) & (cos_o != 0.0) & (cos_i != 0.0)
+    f_lamb = base * (jnp.abs(cos_i) * INV_PI)[:, None]
+    f_lamb = jnp.where(same[:, None], f_lamb, 0.0)
+    pdf_lamb = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
+
+    f_diel = f_spec + (1.0 - fbar)[:, None] * f_lamb
+    pdf_diel = fbar * pdf_spec + (1.0 - fbar) * pdf_lamb
+    m = metallic[:, None]
+    return f_metal * m + f_diel * (1.0 - m), \
+        metallic * pdf_metal + (1.0 - metallic) * pdf_diel
+
+
+# ---------------------------------------------------------------------------
+# Clearcoat: Schlick coat over the PBR substrate with Beer-Lambert tint
+# (ref: simple_pbr_clearcoat_material.rs:60-846)
+# ---------------------------------------------------------------------------
+
+def _coat_params(scene, it, wl):
+    m = scene.materials
+    thickness = m.coat_thickness[it.mat_id]
+    tex_ids = m.coat_thickness_tex[it.mat_id]
+    if len(scene.textures):
+        t = tex_mod.sample_indexed(scene.textures, tex_ids, it.uv, 1,
+                                   jnp.zeros(1))[:, 0]
+        thickness = jnp.where(tex_ids >= 0, t, thickness)
+    coat_alpha = m.coat_roughness[it.mat_id] ** 2
+    ior = m.coat_eta[it.mat_id]
+    r = (ior - 1.0) / (ior + 1.0)
+    r0 = (r * r)[:, None] * jnp.ones((it.uv.shape[0], 4))
+    tint = rgb2spec.sigmoid_poly(m.coat_tint_coeff[it.mat_id], wl.lam)
+    return thickness, coat_alpha, r0, tint
+
+
+def _beer_lambert(tint, thickness_mm, cos_theta):
+    """exp(-sigma L), sigma = -ln(tint)/1mm, L = thickness/cos
+    (simple_pbr_clearcoat_material.rs:87-107)."""
+    sigma = -jnp.log(jnp.maximum(tint, 1e-6)) / 0.001
+    l = (thickness_mm * 0.001 / jnp.maximum(cos_theta, 1e-4))[:, None]
+    return jnp.exp(-sigma * l)
+
+
+def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
+    """Coat-vs-substrate choice by the coat's directional albedo.
+
+    Deviation (documented): the reference estimates the coat albedo with a
+    64-sample thread-rng Monte Carlo per vertex
+    (generalized_schlick.rs:893-918) — a determinism and grad hazard; we use
+    the analytic Schlick Fresnel at wo, exact for smooth coats and a close
+    approximation for the rough coats in scenes 17-18.
+    """
+    wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
+    r = wo.shape[0]
+    one = jnp.ones((r, 4))
+    thickness, coat_alpha, coat_r0, tint = _coat_params(scene, it, wl)
+    params = _pbr_params(scene, it, wl)
+
+    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
+    has_coat = thickness > 0.0
+    e_coat = jnp.where(has_coat, e_coat, 0.0)
+    pick_coat = uc < e_coat
+
+    f_c, wi_c, pdf_c, ok_c, spec_c = _schlick_r_sample(wo, uv2, coat_alpha,
+                                                       coat_r0, one, one)
+    pdf_c = pdf_c * e_coat
+
+    uc_sub = jnp.clip((uc - e_coat) / jnp.maximum(1.0 - e_coat, 1e-8), 0.0, 1.0)
+    f_b, wi_b_t, pdf_b, ok_b, spec_b = _pbr_sample(scene, it, wo_t, uc_sub,
+                                                   uv2, wl, nm_frame,
+                                                   params=params)
+    wi_b = to_frame(nm_frame, wi_b_t) if nm_frame is not None else wi_b_t
+    att = _beer_lambert(tint, thickness, jnp.abs(wo[:, 2])) * \
+        _beer_lambert(tint, thickness, jnp.abs(wi_b[:, 2]))
+    att = jnp.where(has_coat[:, None], att, 1.0)
+    f_b = f_b * att
+    pdf_b = pdf_b * jnp.where(has_coat, 1.0 - e_coat, 1.0)
+
+    f = jnp.where(pick_coat[:, None], f_c, f_b)
+    wi = jnp.where(pick_coat[:, None], wi_c, wi_b)
+    pdf = jnp.where(pick_coat, pdf_c, pdf_b)
+    ok = jnp.where(pick_coat, ok_c, ok_b)
+    spec = jnp.where(pick_coat, spec_c, spec_b)
+    wi_t = from_frame(nm_frame, wi) if nm_frame is not None else wi
+    return f, wi_t, pdf, ok, spec
+
+
+def _clearcoat_eval(scene, it, wo_t, wi_t, wl, nm_frame):
+    """f = f_coat + att*f_substrate; pdf lerped by the coat albedo."""
+    wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
+    wi = to_frame(nm_frame, wi_t) if nm_frame is not None else wi_t
+    r = wo.shape[0]
+    one = jnp.ones((r, 4))
+    thickness, coat_alpha, coat_r0, tint = _coat_params(scene, it, wl)
+    has_coat = thickness > 0.0
+
+    f_c, pdf_c = _schlick_r_eval(wo, wi, coat_alpha, coat_r0, one, one)
+    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
+    e_coat = jnp.where(has_coat, e_coat, 0.0)
+
+    f_b, pdf_b = _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame)
+    att = _beer_lambert(tint, thickness, jnp.abs(wo[:, 2])) * \
+        _beer_lambert(tint, thickness, jnp.abs(wi[:, 2]))
+    att = jnp.where(has_coat[:, None], att, 1.0)
+
+    f = jnp.where(has_coat[:, None], f_c, 0.0) + f_b * att
+    pdf = e_coat * pdf_c + (1.0 - e_coat) * pdf_b
+    return f, pdf
+
+
+# ---------------------------------------------------------------------------
 # Public dispatch API
 # ---------------------------------------------------------------------------
 
@@ -485,6 +745,14 @@ def sample_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
             scene, it, wo_t, uc, uv2, wl, nm_frame, dispersive=False,
             tinted=True)
         merge(mat_type == MAT_PLASTIC, pf, pwi, ppdf, pok, pspec)
+    if MAT_PBR in kinds:
+        bf, bwi, bpdf, bok, bspec = _pbr_sample(scene, it, wo_t, uc, uv2, wl,
+                                                nm_frame)
+        merge(mat_type == MAT_PBR, bf, bwi, bpdf, bok, bspec)
+    if MAT_CLEARCOAT in kinds:
+        cf, cwi, cpdf, cok, cspec = _clearcoat_sample(scene, it, wo_t, uc,
+                                                      uv2, wl, nm_frame)
+        merge(mat_type == MAT_CLEARCOAT, cf, cwi, cpdf, cok, cspec)
 
     # dispersion collapse (dielectric.rs:500-502)
     from ..spectrum.sampled import terminate_secondary
@@ -532,6 +800,16 @@ def evaluate_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
         m = (mat_type == MAT_PLASTIC)
         f = jnp.where(m[:, None], pf, f)
         pdf = jnp.where(m, ppdf, pdf)
+    if MAT_PBR in kinds:
+        bf, bpdf = _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame)
+        m = (mat_type == MAT_PBR)
+        f = jnp.where(m[:, None], bf, f)
+        pdf = jnp.where(m, bpdf, pdf)
+    if MAT_CLEARCOAT in kinds:
+        cf, cpdf = _clearcoat_eval(scene, it, wo_t, wi_t, wl, nm_frame)
+        m = (mat_type == MAT_CLEARCOAT)
+        f = jnp.where(m[:, None], cf, f)
+        pdf = jnp.where(m, cpdf, pdf)
 
     opaque = (mat_type == MAT_LAMBERT) | (mat_type == MAT_METAL) | \
         (mat_type == MAT_PBR) | (mat_type == MAT_CLEARCOAT)

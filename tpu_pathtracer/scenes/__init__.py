@@ -211,6 +211,138 @@ def scene_14(sb: SceneBuilder, cam):
     return cam
 
 
+@register(4)
+def scene_4(sb: SceneBuilder, cam):
+    """Bunny with the second texture set (scene_4.rs; bunny-material-1
+    stand-in: marble-ish albedo + bumps)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Lambert(
+        albedo=_checker_texture(a=(0.85, 0.75, 0.6), b=(0.45, 0.3, 0.25), tiles=5),
+        normal=_normal_map_texture(bumps=9, amp=0.4)))
+    bun, t = bunny_on_floor()
+    sb.add_mesh(bun, m, t)
+    return cam
+
+
+@register(15)
+def scene_15(sb: SceneBuilder, cam):
+    """PBR dragon with full texture set (scene_15.rs: BaseColor/Metallic/
+    Roughness/Normal maps, ior 1.5; dragon scaled 2.5 at z=0.5)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Pbr(
+        base_color=_checker_texture(a=(0.8, 0.55, 0.3), b=(0.35, 0.4, 0.5), tiles=6),
+        metallic=_metal_mask_texture(),
+        roughness=_roughness_texture(),
+        normal=_normal_map_texture(bumps=16, amp=0.3),
+        eta=1.5))
+    drg, t = dragon_on_floor(scale=1.3)
+    sb.add_mesh(drg, m, t)
+    return cam
+
+
+@register(16)
+def scene_16(sb: SceneBuilder, cam):
+    """Clearcoat PBR dragon (scene_16.rs: metallic 1, rough 0.7, coat ior
+    1.5, coat rough 0.01, blue tint, 0.8mm)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Clearcoat(
+        base_color=(0.8, 0.8, 0.8), metallic=1.0, roughness=0.7, eta=1.5,
+        coat_eta=1.5, coat_roughness=0.01, coat_tint=(0.7, 0.8, 1.0),
+        coat_thickness=0.8))
+    drg, t = dragon_on_floor(scale=1.3)
+    sb.add_mesh(drg, m, t)
+    return cam
+
+
+@register(17)
+def scene_17(sb: SceneBuilder, cam):
+    """Rough clearcoat dragon (scene_17.rs:22-70: coat roughness 0.75)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Clearcoat(
+        base_color=(0.8, 0.8, 0.8), metallic=1.0, roughness=0.7, eta=1.5,
+        coat_eta=1.5, coat_roughness=0.75, coat_tint=(0.7, 0.8, 1.0),
+        coat_thickness=0.8))
+    drg, t = dragon_on_floor(scale=1.3)
+    sb.add_mesh(drg, m, t)
+    return cam
+
+
+@register(18)
+def scene_18(sb: SceneBuilder, cam):
+    """Clearcoat with a thickness map (scene_18.rs)."""
+    add_cornell_box(sb)
+    m = sb.add_material(Clearcoat(
+        base_color=(0.8, 0.8, 0.8), metallic=1.0, roughness=0.7, eta=1.5,
+        coat_eta=1.5, coat_roughness=0.05, coat_tint=(0.7, 0.8, 1.0),
+        coat_thickness=_thickness_texture()))
+    drg, t = dragon_on_floor(scale=1.3)
+    sb.add_mesh(drg, m, t)
+    return cam
+
+
+def _procedural_sky(h=128, w=256, sun_dir=(0.4, 0.5, -0.3), turbidity=0.35):
+    """Stand-in for the LFS-stub EXR sky: gradient + sun disk + horizon glow."""
+    v, u = np.mgrid[0:h, 0:w]
+    theta = (v + 0.5) / h * np.pi
+    phi = (u + 0.5) / w * 2 * np.pi
+    d = np.stack([np.sin(theta) * np.cos(phi), np.cos(theta),
+                  -np.sin(theta) * np.sin(phi)], -1)
+    sun = np.asarray(sun_dir) / np.linalg.norm(sun_dir)
+    cos_sun = (d @ sun).clip(-1, 1)
+    sky = np.zeros((h, w, 3), np.float32)
+    t = np.clip(d[..., 1], 0, 1)[..., None]
+    sky += (1 - t) * np.asarray([0.9, 0.85, 0.8]) + t * np.asarray([0.25, 0.45, 0.9])
+    sky += np.exp((cos_sun - 1.0) / 0.0008)[..., None] * np.asarray([80.0, 70.0, 55.0])
+    sky += np.exp((cos_sun - 1.0) / 0.08)[..., None] * np.asarray([1.2, 1.0, 0.7])
+    ground = d[..., 1] < 0
+    sky[ground] = sky[ground] * 0.0 + np.asarray([0.25, 0.22, 0.2]) * (
+        0.3 + 0.7 * np.abs(d[ground][:, 1:2]))
+    return sky.astype(np.float32)
+
+
+@register(19)
+def scene_19(sb: SceneBuilder, cam):
+    """Environment-light scene: PBR/plastic/clearcoat objects under an HDRI
+    sky, no box (scene_19.rs; camera :148-152)."""
+    s = common.BOX_HALF
+    floor = sb.add_material(Lambert(albedo=(0.7, 0.7, 0.7)))
+    sb.add_mesh(mesh.quad([-2 * s, 0, 2 * s], [2 * s, 0, 2 * s],
+                          [2 * s, 0, -2 * s], [-2 * s, 0, -2 * s]), floor)
+    m_pbr = sb.add_material(Pbr(base_color=(0.8, 0.3, 0.25), metallic=0.9,
+                                roughness=0.25, eta=1.5))
+    m_coat = sb.add_material(Clearcoat(base_color=(0.7, 0.7, 0.75),
+                                       metallic=1.0, roughness=0.5,
+                                       coat_roughness=0.02,
+                                       coat_tint=(0.8, 0.9, 1.0),
+                                       coat_thickness=0.5))
+    m_plastic = sb.add_material(Plastic(color=(0.9, 0.85, 0.4), eta=1.49,
+                                        roughness=0.05))
+    sph = mesh.uv_sphere(0.45, 24, 48)
+    sb.add_mesh(sph, m_pbr, translate(-1.0, 0.45, 0.0))
+    sb.add_mesh(sph, m_coat, translate(0.0, 0.45, -0.6))
+    sb.add_mesh(sph, m_plastic, translate(1.0, 0.45, 0.2))
+    sb.add_env_light(_procedural_sky(), intensity=1.0)
+    return cam.look_to((-1.5, 0.8, 2.5), (1.5, -0.4, -2.5))
+
+
+def _metal_mask_texture(n=128):
+    y, x = np.mgrid[0:n, 0:n] / n
+    v = ((np.sin(x * 12) * np.sin(y * 9)) > 0.2).astype(np.float32)
+    return Texture(v[..., None], kind="gray")
+
+
+def _roughness_texture(n=128):
+    y, x = np.mgrid[0:n, 0:n] / n
+    v = (0.2 + 0.6 * (0.5 + 0.5 * np.sin(x * 20 + 3 * y))).astype(np.float32)
+    return Texture(v[..., None], kind="gray")
+
+
+def _thickness_texture(n=128):
+    y, x = np.mgrid[0:n, 0:n] / n
+    v = (1.2 * ((np.sin(x * 15) * np.cos(y * 15)) > 0.0)).astype(np.float32)
+    return Texture(v[..., None], kind="gray")
+
+
 @register(5)
 def scene_5(sb: SceneBuilder, cam):
     """Constant color + normal map (scene_5.rs)."""
