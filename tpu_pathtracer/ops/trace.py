@@ -18,6 +18,7 @@ XLA formulation is the portable baseline and the autodiff-safe path
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -139,13 +140,55 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool):
                b2=s["best_b2"], hit=hit)
 
 
+def _zero_cotangent(x):
+    # float0 cotangents for integer/bool primals, zeros for float primals
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    import numpy as np
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp)
+def _intersect_detached(bvh, ray_o, ray_d, t_max):
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False)
+
+
+def _intersect_fwd(bvh, ray_o, ray_d, t_max):
+    return _intersect_detached(bvh, ray_o, ray_d, t_max), (bvh, ray_o, ray_d,
+                                                           t_max)
+
+
+def _intersect_bwd(res, _g):
+    # Traversal is non-differentiable by design: hits are fixed sample
+    # decisions (SURVEY.md §7.6); gradients flow only through shading.
+    return tuple(jax.tree.map(_zero_cotangent, r) for r in res)
+
+
+_intersect_detached.defvjp(_intersect_fwd, _intersect_bwd)
+
+
+@partial(jax.custom_vjp)
+def _occluded_detached(bvh, ray_o, ray_d, t_max):
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True).hit
+
+
+def _occluded_fwd(bvh, ray_o, ray_d, t_max):
+    return _occluded_detached(bvh, ray_o, ray_d, t_max), (bvh, ray_o, ray_d,
+                                                          t_max)
+
+
+_occluded_detached.defvjp(_occluded_fwd, _intersect_bwd)
+
+
 def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T) -> Hit:
     """Closest-hit query for a batch of rays.
 
     ray_o, ray_d: (R, 3).  Equivalent of ``Bvh::intersect``
     (scene/src/bvh.rs:344-444) + ``Scene::intersect`` (scene.rs:80-90).
+    Non-differentiable (custom zero-vjp): the traversal while_loop is
+    detached so reverse-mode flows through shading only.
     """
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False)
+    return _intersect_detached(bvh, ray_o, ray_d, jnp.asarray(t_max))
 
 
 def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max) -> jnp.ndarray:
@@ -153,7 +196,7 @@ def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max) -> jnp.ndarray:
 
     Equivalent of ``Bvh::intersect_p`` (scene/src/bvh.rs:450-513).
     """
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True).hit
+    return _occluded_detached(bvh, ray_o, ray_d, jnp.asarray(t_max))
 
 
 def intersect_brute(p0, p1, p2, ray_o, ray_d, t_max=BIG_T) -> Hit:
