@@ -1,0 +1,104 @@
+"""Differentiable-pass gates: autodiff pixel gradients vs finite differences.
+
+New capability vs the reference (nothing there is differentiable, SURVEY §4
+item d): the pixel loss must backprop to material parameters through the
+full wavefront integrator, with BVH hits / lobe choices / RR treated as
+fixed sample decisions (ops/trace.py custom zero-vjp).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer import parallel
+from tpu_pathtracer.render.camera import default_camera
+from tpu_pathtracer.render.integrator import RenderConfig
+from tpu_pathtracer.scene.builder import Emissive, Lambert, SceneBuilder
+from tpu_pathtracer.scene import mesh
+from tpu_pathtracer.spectrum import illum_d6500
+
+W, H = 16, 12
+
+
+def _tiny_scene(albedo=(0.85, 0.6, 0.4), intensity=8.0):
+    """Floor + back wall + ceiling emitter: 6 triangles, all paths smooth."""
+    sb = SceneBuilder(table_res=16)
+    m = sb.add_material(Lambert(albedo=albedo))
+    m_light = sb.add_material(Emissive(spectrum=illum_d6500(),
+                                       intensity=intensity))
+    s = 2.0
+    sb.add_mesh(mesh.quad([-s, 0, s], [s, 0, s], [s, 0, -s], [-s, 0, -s]), m)
+    sb.add_mesh(mesh.quad([-s, 0, -s], [s, 0, -s], [s, 4, -s], [-s, 4, -s]), m)
+    e = 1.0
+    sb.add_mesh(mesh.quad([-e, 3.98, e], [e, 3.98, e], [e, 3.98, -e],
+                          [-e, 3.98, -e]), m_light)
+    cam = default_camera(W, H).look_to((0.0, 2.0, 5.0), (0.0, -0.3, -1.0))
+    data, meta = sb.build(cam.position)
+    return data, meta, cam
+
+
+def _cfg(**kw):
+    kw.setdefault("strategy", "mis")
+    kw.setdefault("sampler", "sobol")
+    return RenderConfig(width=W, height=H, spp=4, max_depth=3, **kw)
+
+
+def test_grads_match_finite_differences():
+    scene, meta, cam = _tiny_scene()
+    cfg = _cfg()
+    mesh1 = parallel.make_mesh(1)
+    target = jnp.zeros((W * H, 3))
+    params = parallel.extract_params(scene)
+
+    _, grads = parallel.loss_and_grads(params, scene, meta, cam, cfg, target,
+                                       mesh=mesh1)
+
+    def loss_at(p):
+        l, _ = parallel.loss_and_grads(p, scene, meta, cam, cfg, target,
+                                       mesh=mesh1)
+        return float(l)
+
+    # probe a handful of coordinates across two parameter families
+    probes = [("base_coeff", (0, 0)), ("base_coeff", (0, 2)),
+              ("emission_scale", (1,))]
+    for name, idx in probes:
+        g_ad = float(grads[name][idx])
+        eps = 2e-3 * max(1.0, abs(float(params[name][idx])))
+        p_hi = dict(params)
+        p_hi[name] = params[name].at[idx].add(eps)
+        p_lo = dict(params)
+        p_lo[name] = params[name].at[idx].add(-eps)
+        g_fd = (loss_at(p_hi) - loss_at(p_lo)) / (2 * eps)
+        assert np.isfinite(g_ad)
+        assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), abs(g_ad)) + 1e-6, \
+            f"{name}{idx}: ad={g_ad:.6g} fd={g_fd:.6g}"
+
+
+def test_emission_grad_sign_and_descent():
+    """Darker target => emission gradient positive; an SGD step reduces loss."""
+    scene, meta, cam = _tiny_scene()
+    cfg = _cfg()
+    mesh1 = parallel.make_mesh(1)
+    target = jnp.zeros((W * H, 3))
+    params = parallel.extract_params(scene)
+
+    loss0, grads = parallel.loss_and_grads(params, scene, meta, cam, cfg,
+                                           target, mesh=mesh1)
+    # brighter emitter -> larger MSE vs black target
+    assert float(grads["emission_scale"][1]) > 0.0
+
+    new_params, _ = parallel.train_step(params, scene, meta, cam, cfg, target,
+                                        lr=0.5, mesh=mesh1)
+    loss1, _ = parallel.loss_and_grads(new_params, scene, meta, cam, cfg,
+                                       target, mesh=mesh1)
+    assert float(loss1) < float(loss0)
+
+
+def test_grad_nonzero_through_nee_and_bsdf():
+    """Albedo grads exist (light transport touches the floor material)."""
+    scene, meta, cam = _tiny_scene()
+    cfg = _cfg()
+    params = parallel.extract_params(scene)
+    _, grads = parallel.loss_and_grads(params, scene, meta, cam, cfg,
+                                       jnp.zeros((W * H, 3)),
+                                       mesh=parallel.make_mesh(1))
+    assert float(jnp.abs(grads["base_coeff"][0]).max()) > 0.0

@@ -54,12 +54,17 @@ class Hit(NamedTuple):
     hit: jnp.ndarray      # (R,) bool
 
 
-def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool):
+def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
+              active=None):
     r = ray_o.shape[0]
     inv_d = 1.0 / ray_d  # IEEE inf for zero components is fine for the slab test
 
     stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
-    sp = jnp.ones((r,), jnp.int32)  # root pre-pushed at slot 0
+    # root pre-pushed at slot 0; terminated rays start with an empty stack so
+    # they fall out of the lockstep loop immediately (wavefront compaction)
+    sp = jnp.ones((r,), jnp.int32)
+    if active is not None:
+        sp = jnp.where(active, sp, 0)
 
     state = dict(
         stack=stack, sp=sp,
@@ -149,13 +154,13 @@ def _zero_cotangent(x):
 
 
 @partial(jax.custom_vjp)
-def _intersect_detached(bvh, ray_o, ray_d, t_max):
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False)
+def _intersect_detached(bvh, ray_o, ray_d, t_max, active):
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False, active=active)
 
 
-def _intersect_fwd(bvh, ray_o, ray_d, t_max):
-    return _intersect_detached(bvh, ray_o, ray_d, t_max), (bvh, ray_o, ray_d,
-                                                           t_max)
+def _intersect_fwd(bvh, ray_o, ray_d, t_max, active):
+    return (_intersect_detached(bvh, ray_o, ray_d, t_max, active),
+            (bvh, ray_o, ray_d, t_max, active))
 
 
 def _intersect_bwd(res, _g):
@@ -168,35 +173,45 @@ _intersect_detached.defvjp(_intersect_fwd, _intersect_bwd)
 
 
 @partial(jax.custom_vjp)
-def _occluded_detached(bvh, ray_o, ray_d, t_max):
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True).hit
+def _occluded_detached(bvh, ray_o, ray_d, t_max, active):
+    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True,
+                     active=active).hit
 
 
-def _occluded_fwd(bvh, ray_o, ray_d, t_max):
-    return _occluded_detached(bvh, ray_o, ray_d, t_max), (bvh, ray_o, ray_d,
-                                                          t_max)
+def _occluded_fwd(bvh, ray_o, ray_d, t_max, active):
+    return (_occluded_detached(bvh, ray_o, ray_d, t_max, active),
+            (bvh, ray_o, ray_d, t_max, active))
 
 
 _occluded_detached.defvjp(_occluded_fwd, _intersect_bwd)
 
 
-def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T) -> Hit:
+def _full_mask(ray_o, active):
+    if active is None:
+        return jnp.ones(ray_o.shape[:1], bool)
+    return active
+
+
+def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T, active=None) -> Hit:
     """Closest-hit query for a batch of rays.
 
-    ray_o, ray_d: (R, 3).  Equivalent of ``Bvh::intersect``
+    ray_o, ray_d: (R, 3); active: optional (R,) bool — inactive rays skip
+    traversal and report a miss.  Equivalent of ``Bvh::intersect``
     (scene/src/bvh.rs:344-444) + ``Scene::intersect`` (scene.rs:80-90).
     Non-differentiable (custom zero-vjp): the traversal while_loop is
     detached so reverse-mode flows through shading only.
     """
-    return _intersect_detached(bvh, ray_o, ray_d, jnp.asarray(t_max))
+    return _intersect_detached(bvh, ray_o, ray_d, jnp.asarray(t_max),
+                               _full_mask(ray_o, active))
 
 
-def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max) -> jnp.ndarray:
+def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max, active=None) -> jnp.ndarray:
     """Occlusion (any-hit) query; returns (R,) bool.
 
     Equivalent of ``Bvh::intersect_p`` (scene/src/bvh.rs:450-513).
     """
-    return _occluded_detached(bvh, ray_o, ray_d, jnp.asarray(t_max))
+    return _occluded_detached(bvh, ray_o, ray_d, jnp.asarray(t_max),
+                              _full_mask(ray_o, active))
 
 
 def intersect_brute(p0, p1, p2, ray_o, ray_d, t_max=BIG_T) -> Hit:

@@ -61,6 +61,9 @@ class RenderConfig:
     exposure: float = 1.0
     tone_map: str = "reinhard"     # matches main.rs:191-222
     eotf: str = "srgb"
+    # film tiling: max rays in flight per wavefront (bounds HBM footprint;
+    # large frames render as a sequential lax.map over pixel tiles)
+    tile_rays: int = 1 << 18
 
 
 def _pixel_grid(width, height):
@@ -158,7 +161,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         wi = from_frame(frame, ms.wi_t)
         next_o = _offset_origin(it.position, it.geo_n, wi)
         cont = alive & ms.sampled & (ms.pdf > 0.0)
-        hit2 = trace.intersect(scene.bvh, next_o, wi, jnp.asarray(BIG_T))
+        hit2 = trace.intersect(scene.bvh, next_o, wi, jnp.asarray(BIG_T),
+                               active=cont)
         it2 = make_interaction(scene, hit2, next_o, wi)
 
         inv_pdf = jnp.where(ms.pdf > 0.0, 1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
@@ -226,14 +230,27 @@ def render(scene: SceneData, meta: SceneMeta, camera: Camera,
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _render_jit(scene, meta, camera, cfg):
     sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp, (cfg.width, cfg.height))
+    n_px = cfg.width * cfg.height
     pixel_xy = _pixel_grid(cfg.width, cfg.height)
 
-    def body(s_idx, accum):
-        rgb = trace_sample(scene, meta, camera, cfg, sampler, pixel_xy, s_idx)
-        return accum + rgb
+    def tile_accum(px_tile):
+        def body(s_idx, accum):
+            rgb = trace_sample(scene, meta, camera, cfg, sampler, px_tile,
+                               s_idx)
+            return accum + rgb
+        return jax.lax.fori_loop(0, cfg.spp, body,
+                                 jnp.zeros((px_tile.shape[0], 3)))
 
-    accum = jax.lax.fori_loop(
-        0, cfg.spp, body, jnp.zeros((cfg.width * cfg.height, 3)))
+    tile = min(cfg.tile_rays, n_px)
+    n_tiles = -(-n_px // tile)
+    if n_tiles == 1:
+        accum = tile_accum(pixel_xy)
+    else:
+        # pad to a whole number of tiles, march them sequentially
+        pad = n_tiles * tile - n_px
+        px = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+        accum = jax.lax.map(tile_accum,
+                            px.reshape(n_tiles, tile, 2)).reshape(-1, 3)[:n_px]
     img = film_mod.finalize(
         accum, cfg.spp,
         tone_map=cfg.tone_map if cfg.strategy in ("pt", "nee", "mis") else "none",

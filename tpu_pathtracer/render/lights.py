@@ -207,7 +207,8 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
 
     # --- one batched shadow ray ------------------------------------------
     shadow_o = it.position + wi * RAY_EPS_NEE
-    occluded = trace.intersect_p(scene.bvh, shadow_o, wi, t_max)
+    occluded = trace.intersect_p(scene.bvh, shadow_o, wi, t_max,
+                                 active=any_l & it.valid)
     visible = ~occluded & any_l & it.valid
 
     # --- BSDF factor ------------------------------------------------------
