@@ -19,6 +19,7 @@ arrays:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -389,8 +390,15 @@ class SceneBuilder:
         # render space: subtract camera position (ref: camera.rs:84-87)
         P = (P - cam_pos).astype(np.float32)
 
-        # 4. BVH over world triangles; reorder all per-tri arrays
-        fb = build_bvh(P.min(1), P.max(1))
+        # 4. BVH over world triangles; reorder all per-tri arrays.
+        # Prefer the native C++ builder (native/bvh_builder.cpp); fall back
+        # to the pure-Python one (same algorithm) if no toolchain.
+        fb = None
+        if not os.environ.get("TPT_NO_NATIVE"):
+            from ..native import build_bvh_native
+            fb = build_bvh_native(P.min(1), P.max(1))
+        if fb is None:
+            fb = build_bvh(P.min(1), P.max(1))
         o = fb.order
         P, N, UV, TAN, MATID, PRIM = P[o], N[o], UV[o], TAN[o], MATID[o], PRIM[o]
 
