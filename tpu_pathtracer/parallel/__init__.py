@@ -134,6 +134,9 @@ def loss_and_grads(params: dict, scene: SceneData, meta: SceneMeta, camera,
     ``psum``-reduced so every chip holds the full gradient.
     """
     mesh = mesh or make_mesh()
+    # reverse-mode requires the statically-bounded bounce loop
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, early_exit=False)
     pixel_xy, r = _pad_pixels(cfg, mesh.devices.size)
     pad = pixel_xy.shape[0] - r
     if pad:

@@ -64,6 +64,9 @@ class RenderConfig:
     # film tiling: max rays in flight per wavefront (bounds HBM footprint;
     # large frames render as a sequential lax.map over pixel tiles)
     tile_rays: int = 1 << 18
+    # forward-only renders stop bouncing once every ray is dead (while_loop);
+    # the differentiable pass sets False to keep the loop reverse-mode safe
+    early_exit: bool = True
 
 
 def _pixel_grid(width, height):
@@ -212,7 +215,20 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         return dict(it=it2, wl=wl, throughput=throughput, radiance=radiance,
                     alive=alive)
 
-    state = jax.lax.fori_loop(0, cfg.max_depth, bounce, state)
+    if cfg.early_exit:
+        # the depth loop ends as soon as the whole wavefront is dead
+        # (russian roulette kills most paths well before max_depth)
+        def w_cond(c):
+            depth, s = c
+            return (depth < cfg.max_depth) & jnp.any(s["alive"])
+
+        def w_body(c):
+            depth, s = c
+            return depth + 1, bounce(depth, s)
+
+        _, state = jax.lax.while_loop(w_cond, w_body, (0, state))
+    else:
+        state = jax.lax.fori_loop(0, cfg.max_depth, bounce, state)
     return film_mod.spectral_to_rgb(state["radiance"], state["wl"],
                                     exposure=cfg.exposure)
 
