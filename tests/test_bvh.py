@@ -14,12 +14,7 @@ from tpu_pathtracer.scene import bvh, mesh
 def _bvh_arrays(m: mesh.Mesh) -> trace.BVHArrays:
     p = m.positions[m.indices]
     fb = bvh.build_bvh(p.min(1), p.max(1))
-    p = p[fb.order]
-    assert fb.depth < trace.STACK_DEPTH
-    return trace.BVHArrays(
-        jnp.asarray(fb.bounds_min), jnp.asarray(fb.bounds_max),
-        jnp.asarray(fb.left), jnp.asarray(fb.right), jnp.asarray(fb.count),
-        jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]), jnp.asarray(p[:, 2]))
+    return trace.pack_bvh(fb, p[fb.order])
 
 
 def _random_rays(n, rng, r_origin=3.0):

@@ -2,19 +2,24 @@
 
 TPU-native replacement for the reference's recursive CPU traversal
 (scene/src/bvh.rs:344-513).  All rays advance in lockstep through one
-``lax.while_loop``; each iteration every live ray pops one node from its
-private traversal stack and either (a) tests the node's two child AABBs and
-pushes the surviving children near-first, or (b) tests the <= MAX_LEAF_SIZE
-triangles of a leaf.  Compared to the reference this adds near-child
-ordering and current-best-t pruning (the reference visits both children
-unconditionally, bvh.rs:370-395) — the standard GPU-style traversal, which
-is also the right shape for the TPU's vector unit: every step is a handful
-of gathers plus fully-vectorized AABB/triangle arithmetic over the whole ray
-batch.
+``lax.while_loop``; each iteration every live ray pops one entry from its
+private traversal stack and either (a) tests the two child AABBs stored in
+the popped internal node and pushes the surviving children near-first, or
+(b) tests the <= MAX_LEAF triangles of a popped leaf.  Compared to the
+reference this adds near-child ordering and current-best-t pruning (the
+reference visits both children unconditionally, bvh.rs:370-395).
 
-A Pallas kernel variant of this loop lives in ``ops/pallas_trace.py``; this
-XLA formulation is the portable baseline and the autodiff-safe path
-(traversal is non-differentiable; hits are treated as fixed decisions).
+Device memory layout is tuned for the TPU's gather path: each internal node
+row packs BOTH child AABBs and both child references, and each triangle row
+packs all three vertices, so one traversal step issues two node gathers
+(f32 x12 + i32 x2) and MAX_LEAF triangle gathers (f32 x9) instead of the
+~19 dependent scalar-array gathers a naive SoA layout needs.  Child
+references encode leaves inline (negative ref = leaf with (start, count)
+payload), so leaf nodes are never gathered at all.
+
+The per-ray stack depth is static at trace time: ``nodes_f.shape`` is known
+under jit and the builder records the tree depth in the ``stack_hint``
+array's shape.
 """
 from __future__ import annotations
 
@@ -23,27 +28,89 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.math import intersect_aabb, intersect_triangle
 
-STACK_DEPTH = 48
 BIG_T = 3.0e38
-
-
-class BVHArrays(NamedTuple):
-    """Device-resident flat BVH + triangle SoA (in BVH leaf order)."""
-    bounds_min: jnp.ndarray  # (N, 3)
-    bounds_max: jnp.ndarray  # (N, 3)
-    left: jnp.ndarray        # (N,) internal: left child; leaf: tri start
-    right: jnp.ndarray       # (N,)
-    count: jnp.ndarray       # (N,) 0 = internal
-    p0: jnp.ndarray          # (T, 3) triangle vertices (leaf order)
-    p1: jnp.ndarray
-    p2: jnp.ndarray
-
 
 # static leaf width; must match scene.bvh.MAX_LEAF_SIZE
 MAX_LEAF = 4
+
+
+class BVHArrays(NamedTuple):
+    """Device-resident flat BVH + triangle SoA (in BVH leaf order).
+
+    nodes_f: (N, 12) f32 — [c0.min, c0.max, c1.min, c1.max] per internal node
+    nodes_i: (N, 2) i32  — child refs; >= 0: internal node id,
+                           < 0: leaf, payload v = -(ref+1), start = v >> 3,
+                           count = v & 7
+    tri9:    (T, 9) f32  — packed triangle vertices [p0 p1 p2]
+    p0/p1/p2:(T, 3) f32  — same vertices unpacked (shading-side consumers)
+    stack_hint: (D,) i8  — carries the required stack depth in its SHAPE
+    """
+    nodes_f: jnp.ndarray
+    nodes_i: jnp.ndarray
+    tri9: jnp.ndarray
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    stack_hint: jnp.ndarray
+
+
+def _leaf_ref(start: int, count: int) -> int:
+    return -(start * 8 + count) - 1
+
+
+def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
+    """Pack a host FlatBVH + reordered triangle vertices for the device.
+
+    fb: scene.bvh.FlatBVH (or the native builder's equivalent)
+    P: (T, 3, 3) f32 triangle vertices already permuted by ``fb.order``.
+    """
+    n = fb.n_nodes
+    count = np.asarray(fb.count)
+    left = np.asarray(fb.left)
+    right = np.asarray(fb.right)
+    bmin = np.asarray(fb.bounds_min, np.float32)
+    bmax = np.asarray(fb.bounds_max, np.float32)
+
+    assert count.max(initial=0) <= 7, "leaf count must fit the 3-bit payload"
+    refs = np.where(count > 0, -(left * 8 + count) - 1,
+                    np.arange(n, dtype=np.int64)).astype(np.int32)
+
+    nodes_f = np.zeros((max(n, 1), 12), np.float32)
+    nodes_i = np.full((max(n, 1), 2), _leaf_ref(0, 0), np.int32)
+    if count[0] > 0:
+        # degenerate scene: root itself is a leaf -> pseudo-root whose
+        # second child is an empty, never-hit box
+        nodes_f[0, 0:3] = bmin[0]
+        nodes_f[0, 3:6] = bmax[0]
+        nodes_f[0, 6:9] = np.inf
+        nodes_f[0, 9:12] = -np.inf
+        nodes_i[0, 0] = _leaf_ref(int(left[0]), int(count[0]))
+    else:
+        internal = count == 0
+        l, r = left[internal], right[internal]
+        rows = np.nonzero(internal)[0]
+        nodes_f[rows, 0:3] = bmin[l]
+        nodes_f[rows, 3:6] = bmax[l]
+        nodes_f[rows, 6:9] = bmin[r]
+        nodes_f[rows, 9:12] = bmax[r]
+        nodes_i[rows, 0] = refs[l]
+        nodes_i[rows, 1] = refs[r]
+
+    P = np.asarray(P, np.float32)
+    depth = int(getattr(fb, "depth", 32))
+    return BVHArrays(
+        nodes_f=jnp.asarray(nodes_f),
+        nodes_i=jnp.asarray(nodes_i),
+        tri9=jnp.asarray(P.reshape(len(P), 9)),
+        p0=jnp.asarray(P[:, 0]),
+        p1=jnp.asarray(P[:, 1]),
+        p2=jnp.asarray(P[:, 2]),
+        stack_hint=jnp.zeros((depth + 2,), jnp.int8),
+    )
 
 
 class Hit(NamedTuple):
@@ -57,13 +124,16 @@ class Hit(NamedTuple):
 def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
               active=None):
     r = ray_o.shape[0]
+    n_tri = bvh.tri9.shape[0]
+    stack_depth = bvh.stack_hint.shape[0]
     inv_d = 1.0 / ray_d  # IEEE inf for zero components is fine for the slab test
 
-    stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
-    # root pre-pushed at slot 0; terminated rays start with an empty stack so
-    # they fall out of the lockstep loop immediately (wavefront compaction)
+    # ref 0 == root (a pseudo-root exists when the whole tree is one leaf)
+    stack = jnp.zeros((r, stack_depth), jnp.int32)
     sp = jnp.ones((r,), jnp.int32)
     if active is not None:
+        # terminated rays start with an empty stack so they fall out of the
+        # lockstep loop immediately (wavefront compaction)
         sp = jnp.where(active, sp, 0)
 
     state = dict(
@@ -78,59 +148,61 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
         return jnp.any(s["sp"] > 0)
 
     def body(s):
-        active = s["sp"] > 0
+        live = s["sp"] > 0
         top = jnp.maximum(s["sp"] - 1, 0)
-        node = jnp.take_along_axis(s["stack"], top[:, None], axis=1)[:, 0]
-        node = jnp.where(active, node, 0)
-        sp = jnp.where(active, s["sp"] - 1, s["sp"])
+        ref = jnp.take_along_axis(s["stack"], top[:, None], axis=1)[:, 0]
+        ref = jnp.where(live, ref, -1)
+        sp = jnp.where(live, s["sp"] - 1, s["sp"])
 
-        cnt = bvh.count[node]
-        is_leaf = active & (cnt > 0)
-        is_inner = active & (cnt == 0)
+        is_leaf = live & (ref < 0)
+        is_inner = live & (ref >= 0)
 
-        # ---- leaf: test up to max_leaf triangles --------------------------
-        start = bvh.left[node]
+        # ---- leaf: payload decoded from the ref, no node gather -----------
+        payload = -(ref + 1)
+        start = jnp.right_shift(payload, 3)
+        cnt = jnp.bitwise_and(payload, 7)
         best_t, best_tri = s["best_t"], s["best_tri"]
         best_b1, best_b2 = s["best_b1"], s["best_b2"]
         for k in range(MAX_LEAF):
-            tri_i = jnp.clip(start + k, 0, bvh.p0.shape[0] - 1)
+            tri_i = jnp.clip(start + k, 0, n_tri - 1)
             valid = is_leaf & (k < cnt)
+            row = bvh.tri9[tri_i]                       # (R, 9) single gather
             t, b1, b2, h = intersect_triangle(
-                ray_o, ray_d, bvh.p0[tri_i], bvh.p1[tri_i], bvh.p2[tri_i], best_t)
+                ray_o, ray_d, row[:, 0:3], row[:, 3:6], row[:, 6:9], best_t)
             better = valid & h & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             best_tri = jnp.where(better, tri_i, best_tri)
             best_b1 = jnp.where(better, b1, best_b1)
             best_b2 = jnp.where(better, b2, best_b2)
 
-        # ---- internal: test both children, push near-first ----------------
-        l_child = bvh.left[node]
-        r_child = bvh.right[node]
-        tn_l, hit_l = intersect_aabb(ray_o, inv_d, bvh.bounds_min[l_child],
-                                     bvh.bounds_max[l_child], best_t)
-        tn_r, hit_r = intersect_aabb(ray_o, inv_d, bvh.bounds_min[r_child],
-                                     bvh.bounds_max[r_child], best_t)
+        # ---- internal: both child AABBs live in the popped node's row -----
+        node = jnp.where(is_inner, ref, 0)
+        row_f = bvh.nodes_f[node]                        # (R, 12)
+        row_i = bvh.nodes_i[node]                        # (R, 2)
+        tn_l, hit_l = intersect_aabb(ray_o, inv_d, row_f[:, 0:3],
+                                     row_f[:, 3:6], best_t)
+        tn_r, hit_r = intersect_aabb(ray_o, inv_d, row_f[:, 6:9],
+                                     row_f[:, 9:12], best_t)
         hit_l = is_inner & hit_l
         hit_r = is_inner & hit_r
 
         # near child popped first => push far child first
         l_nearer = tn_l <= tn_r
-        first = jnp.where(l_nearer, r_child, l_child)   # far
+        first = jnp.where(l_nearer, row_i[:, 1], row_i[:, 0])   # far
         first_ok = jnp.where(l_nearer, hit_r, hit_l)
-        second = jnp.where(l_nearer, l_child, r_child)  # near
+        second = jnp.where(l_nearer, row_i[:, 0], row_i[:, 1])  # near
         second_ok = jnp.where(l_nearer, hit_l, hit_r)
 
         stack = s["stack"]
-        slot = jnp.clip(sp, 0, STACK_DEPTH - 1)
+        lane = jnp.arange(stack_depth)[None, :]
+        slot1 = jnp.clip(sp, 0, stack_depth - 1)
+        sp1 = sp + first_ok.astype(jnp.int32)
+        slot2 = jnp.clip(sp1, 0, stack_depth - 1)
         stack = jnp.where(
-            (jnp.arange(STACK_DEPTH)[None, :] == slot[:, None]) & first_ok[:, None],
-            first[:, None], stack)
-        sp = sp + first_ok.astype(jnp.int32)
-        slot = jnp.clip(sp, 0, STACK_DEPTH - 1)
-        stack = jnp.where(
-            (jnp.arange(STACK_DEPTH)[None, :] == slot[:, None]) & second_ok[:, None],
-            second[:, None], stack)
-        sp = sp + second_ok.astype(jnp.int32)
+            (lane == slot1[:, None]) & first_ok[:, None], first[:, None],
+            jnp.where((lane == slot2[:, None]) & second_ok[:, None],
+                      second[:, None], stack))
+        sp = sp1 + second_ok.astype(jnp.int32)
 
         if any_hit:
             # occlusion query: stop a ray as soon as anything is hit
@@ -149,7 +221,6 @@ def _zero_cotangent(x):
     # float0 cotangents for integer/bool primals, zeros for float primals
     if jnp.issubdtype(x.dtype, jnp.floating):
         return jnp.zeros_like(x)
-    import numpy as np
     return np.zeros(x.shape, jax.dtypes.float0)
 
 

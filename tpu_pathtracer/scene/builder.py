@@ -29,7 +29,7 @@ from .. import spectrum as spec
 from ..spectrum import rgb2spec
 from .bvh import build_bvh
 from .mesh import Mesh
-from ..ops.trace import BVHArrays
+from ..ops.trace import pack_bvh
 from .types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV, LIGHT_POINT,
                     LIGHT_SPOT, MAT_CLEARCOAT, MAT_EMISSIVE, MAT_GLASS,
                     MAT_LAMBERT, MAT_METAL, MAT_PBR, MAT_PLASTIC, EnvMap,
@@ -402,10 +402,7 @@ class SceneBuilder:
         o = fb.order
         P, N, UV, TAN, MATID, PRIM = P[o], N[o], UV[o], TAN[o], MATID[o], PRIM[o]
 
-        bvh = BVHArrays(
-            jnp.asarray(fb.bounds_min), jnp.asarray(fb.bounds_max),
-            jnp.asarray(fb.left), jnp.asarray(fb.right), jnp.asarray(fb.count),
-            jnp.asarray(P[:, 0]), jnp.asarray(P[:, 1]), jnp.asarray(P[:, 2]))
+        bvh = pack_bvh(fb, P)
 
         # 5. world bounding sphere (for directional/env phi + env distance)
         lo, hi = P.reshape(-1, 3).min(0), P.reshape(-1, 3).max(0)
