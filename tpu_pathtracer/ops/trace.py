@@ -129,7 +129,9 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
     inv_d = 1.0 / ray_d  # IEEE inf for zero components is fine for the slab test
 
     # ref 0 == root (a pseudo-root exists when the whole tree is one leaf)
-    stack = jnp.zeros((r, stack_depth), jnp.int32)
+    # stack is (depth, R): rays on the minor axis so every per-slot op is a
+    # full-width vector op and no layout transpose happens per iteration
+    stack = jnp.zeros((stack_depth, r), jnp.int32)
     sp = jnp.ones((r,), jnp.int32)
     if active is not None:
         # terminated rays start with an empty stack so they fall out of the
@@ -150,7 +152,7 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
     def body(s):
         live = s["sp"] > 0
         top = jnp.maximum(s["sp"] - 1, 0)
-        ref = jnp.take_along_axis(s["stack"], top[:, None], axis=1)[:, 0]
+        ref = jnp.take_along_axis(s["stack"], top[None, :], axis=0)[0]
         ref = jnp.where(live, ref, -1)
         sp = jnp.where(live, s["sp"] - 1, s["sp"])
 
@@ -194,14 +196,14 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
         second_ok = jnp.where(l_nearer, hit_l, hit_r)
 
         stack = s["stack"]
-        lane = jnp.arange(stack_depth)[None, :]
+        slot = jnp.arange(stack_depth)[:, None]
         slot1 = jnp.clip(sp, 0, stack_depth - 1)
         sp1 = sp + first_ok.astype(jnp.int32)
         slot2 = jnp.clip(sp1, 0, stack_depth - 1)
         stack = jnp.where(
-            (lane == slot1[:, None]) & first_ok[:, None], first[:, None],
-            jnp.where((lane == slot2[:, None]) & second_ok[:, None],
-                      second[:, None], stack))
+            (slot == slot1[None, :]) & first_ok[None, :], first[None, :],
+            jnp.where((slot == slot2[None, :]) & second_ok[None, :],
+                      second[None, :], stack))
         sp = sp1 + second_ok.astype(jnp.int32)
 
         if any_hit:

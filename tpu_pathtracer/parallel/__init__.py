@@ -54,14 +54,15 @@ def merge_params(scene: SceneData, params: dict) -> SceneData:
     return scene._replace(materials=scene.materials._replace(**params))
 
 
-def _accum_linear(scene, meta, camera, cfg, pixel_xy):
+def _accum_linear(scene, meta, camera, cfg, pixel_xy, max_depth_dyn=None):
     """Mean linear-RGB estimate over spp for a block of pixels -> (R, 3)."""
     sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
                            (cfg.width, cfg.height))
 
     def body(s_idx, accum):
         return accum + trace_sample(scene, meta, camera, cfg, sampler,
-                                    pixel_xy, s_idx)
+                                    pixel_xy, s_idx,
+                                    max_depth_dyn=max_depth_dyn)
 
     accum = jax.lax.fori_loop(
         0, cfg.spp, body, jnp.zeros((pixel_xy.shape[0], 3)))
@@ -79,12 +80,17 @@ def _pad_pixels(cfg: RenderConfig, n_shards: int):
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 5))
-def _render_sharded_jit(scene, meta, camera, cfg, pixel_xy, mesh):
+def _render_sharded_jit(scene, meta, camera, cfg, pixel_xy, mesh,
+                        max_depth_dyn=None):
+    # max_depth rides in as a runtime scalar (jit argument, not an embedded
+    # constant) so the bounce loop's trip count stays opaque to XLA — see
+    # integrator.trace_sample docstring
     fn = jax.shard_map(
-        lambda sc, px: _accum_linear(sc, meta, camera, cfg, px),
-        mesh=mesh, in_specs=(P(), P(AXIS)), out_specs=P(AXIS),
+        lambda sc, px, md: _accum_linear(sc, meta, camera, cfg, px,
+                                         max_depth_dyn=md),
+        mesh=mesh, in_specs=(P(), P(AXIS), P()), out_specs=P(AXIS),
         check_vma=False)
-    return fn(scene, pixel_xy)
+    return fn(scene, pixel_xy, max_depth_dyn)
 
 
 def render_sharded(scene: SceneData, meta: SceneMeta, camera, cfg: RenderConfig,
@@ -97,7 +103,8 @@ def render_sharded(scene: SceneData, meta: SceneMeta, camera, cfg: RenderConfig,
     """
     mesh = mesh or make_mesh()
     pixel_xy, r = _pad_pixels(cfg, mesh.devices.size)
-    accum = _render_sharded_jit(scene, meta, camera, cfg, pixel_xy, mesh)[:r]
+    accum = _render_sharded_jit(scene, meta, camera, cfg, pixel_xy, mesh,
+                                jnp.asarray(cfg.max_depth, jnp.int32))[:r]
     img = film_mod.finalize(accum * cfg.spp, cfg.spp, tone_map=cfg.tone_map,
                             eotf=cfg.eotf)
     return img.reshape(cfg.height, cfg.width, 3)

@@ -53,13 +53,15 @@ def _cfg_key(cfg: RenderConfig) -> str:
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
-def _chunk_accum(scene, meta, camera, cfg, pixel_xy, spp_start, spp_end):
+def _chunk_accum(scene, meta, camera, cfg, pixel_xy, spp_start, spp_end,
+                 max_depth_dyn=None):
     sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
                            (cfg.width, cfg.height))
 
     def body(s_idx, accum):
         return accum + trace_sample(scene, meta, camera, cfg, sampler,
-                                    pixel_xy, s_idx)
+                                    pixel_xy, s_idx,
+                                    max_depth_dyn=max_depth_dyn)
 
     return jax.lax.fori_loop(spp_start, spp_end, body,
                              jnp.zeros((pixel_xy.shape[0], 3)))
@@ -89,7 +91,8 @@ def render_progressive(scene, meta, camera, cfg: RenderConfig,
     while state.spp_done < cfg.spp:
         end = min(state.spp_done + chunk_spp, cfg.spp)
         delta = _chunk_accum(scene, meta, camera, cfg, pixel_xy,
-                             state.spp_done, end)
+                             state.spp_done, end,
+                             jnp.asarray(cfg.max_depth, jnp.int32))
         state.accum = state.accum + np.asarray(delta)
         state.spp_done = end
         if checkpoint_path:
