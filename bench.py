@@ -46,7 +46,7 @@ def count_rays_per_sample(scene, meta, cam, cfg):
     from tpu_pathtracer.utils.math import make_frame, to_frame, from_frame
 
     @jax.jit
-    def count(scene):
+    def count(scene, max_depth_dyn):
         u_l = sampler.get_1d(pixel_xy, 0, 0)
         wl = swl.sample_uniform(u_l)
         uv = sampler.get_2d(pixel_xy, 0, 1)
@@ -76,11 +76,21 @@ def count_rays_per_sample(scene, meta, cam, cfg):
             alive = cont & it2.valid & bsdf_mod.is_bsdf_material(scene, it2)
             return (it2, alive, n)
 
-        _, _, n = jax.lax.fori_loop(0, cfg.max_depth, body,
-                                    (it, alive, n_rays))
+        # dynamic trip count: a static bound >= 14 hits the XLA-TPU compile
+        # cliff documented in integrator.trace_sample
+        def w_cond(c):
+            d, s = c
+            return d < max_depth_dyn
+
+        def w_body(c):
+            d, s = c
+            return d + 1, body(d, s)
+
+        _, (_, _, n) = jax.lax.while_loop(w_cond, w_body,
+                                          (0, (it, alive, n_rays)))
         return n
 
-    return float(count(scene))
+    return float(count(scene, jnp.asarray(cfg.max_depth, jnp.int32)))
 
 
 def main():
