@@ -22,8 +22,15 @@ import numpy as np
 CPU_BASELINE_MRAYS = None  # filled from BENCH_baseline.json if present
 
 
-def count_rays_per_sample(scene, meta, cam, cfg):
-    """Count rays actually traced for one spp across all pixels."""
+def count_rays_per_sample(scene, meta, cam, cfg, probe_px: int = 1 << 16):
+    """Count rays actually traced for one spp across all pixels.
+
+    The instrumented pass runs on a strided subset of <= probe_px pixels
+    (the per-pixel ray count is a smooth function of image position, so a
+    uniform stride is an unbiased estimate) and scales to full resolution —
+    keeps the probe small enough that it never competes with the timed
+    render for HBM.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -38,6 +45,10 @@ def count_rays_per_sample(scene, meta, cam, cfg):
     sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
                            (cfg.width, cfg.height))
     pixel_xy = _pixel_grid(cfg.width, cfg.height)
+    n_full = pixel_xy.shape[0]
+    stride = max(1, -(-n_full // probe_px))
+    pixel_xy = pixel_xy[::stride]
+    scale = n_full / pixel_xy.shape[0]
 
     from tpu_pathtracer.render import bsdf as bsdf_mod
     from tpu_pathtracer.render.surface import make_interaction
@@ -90,7 +101,7 @@ def count_rays_per_sample(scene, meta, cam, cfg):
                                           (0, (it, alive, n_rays)))
         return n
 
-    return float(count(scene, jnp.asarray(cfg.max_depth, jnp.int32)))
+    return float(count(scene, jnp.asarray(cfg.max_depth, jnp.int32))) * scale
 
 
 def main():
