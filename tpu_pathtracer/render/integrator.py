@@ -90,7 +90,7 @@ def _env_escape_radiance(scene, meta, wl, direction):
 
 def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
                  cfg: RenderConfig, sampler, pixel_xy, sample_idx,
-                 max_depth_dyn=None):
+                 max_depth_dyn=None, with_ray_count=False):
     """Trace one spectral sample for every pixel; returns (rgb (R, 3)).
 
     max_depth_dyn: optional TRACED scalar bounding the bounce loop.  When
@@ -98,6 +98,12 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     where a statically-boundable trip count >= 14 flips the whole loop nest
     into a ~10000x slower compilation mode (measured on v5e: 4.5ms at
     depth 13 -> 42.5s at depth 14 for the identical body).
+
+    with_ray_count: when True also return the scalar number of rays this
+    sample actually traced (camera + continuation + NEE shadow rays, i.e.
+    the masks that gate trace.intersect / intersect_p calls) so the
+    benchmark's Mray/s denominator comes from the real render loop rather
+    than a duplicated probe.
     """
     r = pixel_xy.shape[0]
     strategy = cfg.strategy
@@ -140,11 +146,12 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     alive = it.valid & bsdf_mod.is_bsdf_material(scene, it)
 
     state = dict(it=it, wl=wl, throughput=throughput, radiance=radiance,
-                 alive=alive)
+                 alive=alive, n_rays=jnp.asarray(float(r), jnp.float32))
 
     def bounce(depth, s):
         it, wl = s["it"], s["wl"]
         throughput, radiance, alive = s["throughput"], s["radiance"], s["alive"]
+        n_rays = s["n_rays"]
         base = 3 + DIMS_PER_BOUNCE * depth
 
         frame = make_frame(it.shading_n, it.tangent)   # render -> tangent
@@ -167,11 +174,15 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
             radiance = radiance + jnp.where(
                 nee_it.valid[:, None],
                 throughput * nee.contribution * nee.mis_weight[:, None], 0.0)
+            if with_ray_count:
+                n_rays = n_rays + jnp.sum(nee_it.valid.astype(jnp.float32))
 
         # --- BSDF-sampled continuation ray (process_bsdf_sampling) --------
         wi = from_frame(frame, ms.wi_t)
         next_o = _offset_origin(it.position, it.geo_n, wi)
         cont = alive & ms.sampled & (ms.pdf > 0.0)
+        if with_ray_count:
+            n_rays = n_rays + jnp.sum(cont.astype(jnp.float32))
         hit2 = trace.intersect(scene.bvh, next_o, wi, jnp.asarray(BIG_T),
                                active=cont)
         it2 = make_interaction(scene, hit2, next_o, wi)
@@ -221,7 +232,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         alive = alive & survive
 
         return dict(it=it2, wl=wl, throughput=throughput, radiance=radiance,
-                    alive=alive)
+                    alive=alive, n_rays=n_rays)
 
     if cfg.early_exit:
         # the depth loop ends as soon as the whole wavefront is dead
@@ -240,8 +251,11 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         _, state = jax.lax.while_loop(w_cond, w_body, (0, state))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth, bounce, state)
-    return film_mod.spectral_to_rgb(state["radiance"], state["wl"],
-                                    exposure=cfg.exposure)
+    rgb = film_mod.spectral_to_rgb(state["radiance"], state["wl"],
+                                   exposure=cfg.exposure)
+    if with_ray_count:
+        return rgb, state["n_rays"]
+    return rgb
 
 
 def render(scene: SceneData, meta: SceneMeta, camera: Camera,
@@ -286,3 +300,45 @@ def _render_jit(scene, meta, camera, cfg, max_depth_dyn):
         tone_map=cfg.tone_map if cfg.strategy in ("pt", "nee", "mis") else "none",
         eotf=cfg.eotf if cfg.strategy in ("pt", "nee", "mis", "albedo") else "linear")
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+def count_rays_one_spp(scene: SceneData, meta: SceneMeta, camera: Camera,
+                       cfg: RenderConfig) -> float:
+    """Rays actually traced for sample 0 of every pixel (camera +
+    continuation + NEE shadow rays).
+
+    Drives the benchmark's Mray/s denominator.  Uses the exact render loop
+    (``trace_sample`` with ``with_ray_count=True``) and the same tiling as
+    ``render``, so it cannot drift from what the timed render does; one spp
+    of a ``cfg.spp``-sample render is a faithful per-spp count because the
+    sampler decorrelates bounces, not the expected path length.
+    """
+    return float(_count_rays_jit(scene, meta, camera, cfg,
+                                 jnp.asarray(cfg.max_depth, jnp.int32)))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _count_rays_jit(scene, meta, camera, cfg, max_depth_dyn):
+    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp, (cfg.width, cfg.height))
+    n_px = cfg.width * cfg.height
+    pixel_xy = _pixel_grid(cfg.width, cfg.height)
+
+    def tile_count(px_tile):
+        _, n = trace_sample(scene, meta, camera, cfg, sampler, px_tile, 0,
+                            max_depth_dyn=max_depth_dyn, with_ray_count=True)
+        return n
+
+    tile = min(cfg.tile_rays, n_px)
+    n_tiles = -(-n_px // tile)
+    if n_tiles == 1:
+        return tile_count(pixel_xy)
+    # count whole tiles then correct for the padded (duplicate pixel-0) rays
+    pad = n_tiles * tile - n_px
+    px = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+    total = jnp.sum(jax.lax.map(tile_count, px.reshape(n_tiles, tile, 2)))
+    if pad:
+        _, n_pad = trace_sample(scene, meta, camera, cfg, sampler,
+                                px[n_px:], 0, max_depth_dyn=max_depth_dyn,
+                                with_ray_count=True)
+        total = total - n_pad
+    return total
