@@ -73,3 +73,27 @@ def test_bvh_covers_all_triangles():
         assert a == cursor
         cursor = b
     assert cursor == m.n_triangles
+
+
+def test_python_builder_degenerate_leaves():
+    """37 coincident triangles (all centroids identical): the Python builder
+    must median-split down to MAX_LEAF_SIZE leaves (mirrors the native
+    builder) so pack_bvh's 3-bit leaf payload and the device traversal's
+    static MAX_LEAF window stay valid."""
+    tmin = np.zeros((37, 3), np.float32)
+    tmax = np.ones((37, 3), np.float32)
+    fb = bvh.build_bvh(tmin, tmax)
+    leaf = fb.count > 0
+    assert fb.count[leaf].sum() == 37
+    assert fb.count[leaf].max() <= bvh.MAX_LEAF_SIZE
+    # and the packed tree actually finds all of them
+    P = np.zeros((37, 3, 3), np.float32)
+    P[:, 0] = [0, 0, 0]
+    P[:, 1] = [1, 0, 0]
+    P[:, 2] = [0, 1, 0]
+    arrs = trace.pack_bvh(fb, P[fb.order])
+    o = jnp.asarray([[0.2, 0.2, 1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    h = jax.jit(trace.intersect)(arrs, o, d)
+    assert bool(np.asarray(h.hit)[0])
+    assert abs(float(np.asarray(h.t)[0]) - 1.0) < 1e-5

@@ -60,3 +60,14 @@ def test_uneven_pixel_count_pads():
                                              mesh=parallel.make_mesh(8)))
     assert img.shape == (7, 9, 3)
     assert np.isfinite(img).all()
+
+
+def test_sharded_render_matches_single_device_random_sampler():
+    """The random sampler is pixel-keyed, so sharding must not change the
+    image (round-1 bug: every shard drew identical streams)."""
+    scene, meta, cam = load_scene(1, W, H, table_res=16)
+    cfg = _cfg(sampler="random", strategy="pt")
+    img1 = np.asarray(render(scene, meta, cam, cfg))
+    img8 = np.asarray(parallel.render_sharded(scene, meta, cam, cfg,
+                                              mesh=parallel.make_mesh(8)))
+    np.testing.assert_allclose(img8, img1, atol=2e-5, rtol=1e-4)

@@ -121,3 +121,34 @@ def test_point_light_scene():
                        sampler="random", max_depth=3)
     img = np.asarray(render(scene, meta, cam, cfg))
     assert np.isfinite(img).all() and img.mean() > 0.05
+
+
+def test_random_sampler_decorrelates_pixels():
+    """Disjoint pixel tiles must draw different random streams (round-1 bug:
+    the threefry key ignored the pixel, so every tile repeated the same
+    noise pattern)."""
+    from tpu_pathtracer.render.sampler import make_sampler
+    s = make_sampler("random", seed=0, spp=4, resolution=(64, 64))
+    tile_a = jnp.asarray([[0, 0], [1, 0], [2, 0], [3, 0]], jnp.int32)
+    tile_b = jnp.asarray([[0, 32], [1, 32], [2, 32], [3, 32]], jnp.int32)
+    ua = np.asarray(s.get_1d(tile_a, 0, 5))
+    ub = np.asarray(s.get_1d(tile_b, 0, 5))
+    assert not np.allclose(ua, ub)
+    # and a pixel's draw does not depend on which batch it rides in
+    mixed = jnp.concatenate([tile_b[2:], tile_a[:2]], 0)
+    um = np.asarray(s.get_1d(mixed, 0, 5))
+    np.testing.assert_array_equal(um[2:], ua[:2])
+    np.testing.assert_array_equal(um[:2], ub[2:])
+
+
+def test_tiled_render_matches_untiled_random():
+    """cfg.tile_rays tiling must be invisible for BOTH samplers."""
+    import dataclasses
+    scene, meta, cam = load_scene(1, 16, 12, table_res=16)
+    for sampler in ("random", "sobol"):
+        cfg = RenderConfig(width=16, height=12, spp=2, strategy="pt",
+                           sampler=sampler, max_depth=2)
+        full = np.asarray(render(scene, meta, cam, cfg))
+        tiled = np.asarray(render(scene, meta, cam,
+                                  dataclasses.replace(cfg, tile_rays=64)))
+        np.testing.assert_array_equal(full, tiled, err_msg=sampler)

@@ -55,17 +55,32 @@ def merge_params(scene: SceneData, params: dict) -> SceneData:
 
 
 def _accum_linear(scene, meta, camera, cfg, pixel_xy, max_depth_dyn=None):
-    """Mean linear-RGB estimate over spp for a block of pixels -> (R, 3)."""
+    """Mean linear-RGB estimate over spp for a block of pixels -> (R, 3).
+
+    Honors ``cfg.tile_rays`` exactly like ``integrator.render``: a shard
+    whose pixel block exceeds the tile budget marches tiles sequentially
+    (bounds the per-chip HBM footprint of the wavefront)."""
     sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
                            (cfg.width, cfg.height))
 
-    def body(s_idx, accum):
-        return accum + trace_sample(scene, meta, camera, cfg, sampler,
-                                    pixel_xy, s_idx,
-                                    max_depth_dyn=max_depth_dyn)
+    def tile_accum(px_tile):
+        def body(s_idx, accum):
+            return accum + trace_sample(scene, meta, camera, cfg, sampler,
+                                        px_tile, s_idx,
+                                        max_depth_dyn=max_depth_dyn)
+        return jax.lax.fori_loop(0, cfg.spp, body,
+                                 jnp.zeros((px_tile.shape[0], 3)))
 
-    accum = jax.lax.fori_loop(
-        0, cfg.spp, body, jnp.zeros((pixel_xy.shape[0], 3)))
+    n_px = pixel_xy.shape[0]
+    tile = min(cfg.tile_rays, n_px)
+    n_tiles = -(-n_px // tile)
+    if n_tiles == 1:
+        accum = tile_accum(pixel_xy)
+    else:
+        pad = n_tiles * tile - n_px
+        px = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+        accum = jax.lax.map(tile_accum,
+                            px.reshape(n_tiles, tile, 2)).reshape(-1, 3)[:n_px]
     return accum / cfg.spp
 
 
@@ -105,8 +120,11 @@ def render_sharded(scene: SceneData, meta: SceneMeta, camera, cfg: RenderConfig,
     pixel_xy, r = _pad_pixels(cfg, mesh.devices.size)
     accum = _render_sharded_jit(scene, meta, camera, cfg, pixel_xy, mesh,
                                 jnp.asarray(cfg.max_depth, jnp.int32))[:r]
-    img = film_mod.finalize(accum * cfg.spp, cfg.spp, tone_map=cfg.tone_map,
-                            eotf=cfg.eotf)
+    # AOV-aware finalize, same rule as integrator._render_jit
+    img = film_mod.finalize(
+        accum * cfg.spp, cfg.spp,
+        tone_map=cfg.tone_map if cfg.strategy in ("pt", "nee", "mis") else "none",
+        eotf=cfg.eotf if cfg.strategy in ("pt", "nee", "mis", "albedo") else "linear")
     return img.reshape(cfg.height, cfg.width, 3)
 
 

@@ -824,15 +824,32 @@ def is_bsdf_material(scene: SceneData, it) -> jnp.ndarray:
     return scene.materials.mat_type[it.mat_id] != MAT_EMISSIVE
 
 
-def emitted_radiance(scene: SceneData, it, wl) -> jnp.ndarray:
+def emission_spectral(scene: SceneData, meta: SceneMeta, mat_id, uv,
+                      wl) -> jnp.ndarray:
+    """Radiance spectrum x intensity for material rows ``mat_id`` at ``uv``,
+    (R, 4), no emissive-type gating (ref: emissive_material.rs radiance via
+    SpectrumParameter — constant spectrum or RGB texture)."""
+    m = scene.materials
+    row = m.emission_row[mat_id]
+    scale = m.emission_scale[mat_id]
+    spd = scene.spectra[jnp.maximum(row, 0)]              # (R, 470)
+    le = jnp.where((row >= 0)[:, None], sgrid.eval_dense(spd, wl.lam), 0.0)
+    if meta.has_emission_tex and len(scene.textures):
+        tex_ids = m.emission_tex[mat_id]
+        rgb = tex_mod.sample_indexed(scene.textures, tex_ids, uv, 3,
+                                     jnp.zeros(3))
+        le_tex = rgb2spec.illuminant_eval(rgb, wl.lam, scene.rs_zn,
+                                          scene.rs_coeffs, scene.spectra[0])
+        le = jnp.where((tex_ids >= 0)[:, None], le_tex, le)
+    return le * scale[:, None]
+
+
+def emitted_radiance(scene: SceneData, meta: SceneMeta, it, wl) -> jnp.ndarray:
     """Le at an emissive hit, (R, 4) (ref: emissive_material.rs radiance =
     spectrum x intensity via UniformEdf — direction independent)."""
     m = scene.materials
-    row = m.emission_row[it.mat_id]
-    scale = m.emission_scale[it.mat_id]
-    spd = scene.spectra[jnp.maximum(row, 0)]              # (R, 470)
-    le = sgrid.eval_dense(spd, wl.lam) * scale[:, None]
-    is_emissive = (m.mat_type[it.mat_id] == MAT_EMISSIVE) & (row >= 0)
+    le = emission_spectral(scene, meta, it.mat_id, it.uv, wl)
+    is_emissive = m.mat_type[it.mat_id] == MAT_EMISSIVE
     return jnp.where(is_emissive[:, None], le, 0.0)
 
 

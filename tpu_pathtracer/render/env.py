@@ -22,18 +22,21 @@ from ..spectrum import rgb2spec
 from . import texture as tex_mod
 
 
-def dir_to_uv(d):
-    """(R, 3) unit dirs -> (R, 2) uv (environment_light.rs:87-116)."""
+def dir_to_uv(d, rotation=0.0):
+    """(R, 3) unit dirs -> (R, 2) uv (environment_light.rs:87-116).
+
+    ``rotation`` is the map's azimuth rotation (radians): the uv returned is
+    where direction d lands on the rotated map."""
     theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
     phi = jnp.arctan2(-d[:, 2], d[:, 0])
-    u = (phi / (2.0 * math.pi)) % 1.0
+    u = ((phi - rotation) / (2.0 * math.pi)) % 1.0
     v = theta / math.pi
     return jnp.stack([u, v], axis=-1)
 
 
-def uv_to_dir(uv):
+def uv_to_dir(uv, rotation=0.0):
     theta = uv[:, 1] * math.pi
-    phi = uv[:, 0] * 2.0 * math.pi
+    phi = uv[:, 0] * 2.0 * math.pi + rotation
     sin_t = jnp.sin(theta)
     return jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta),
                       -sin_t * jnp.sin(phi)], axis=-1)
@@ -45,7 +48,7 @@ def env_radiance(scene: SceneData, wl, d):
     (ref: direction_radiance, environment_light.rs:304-316)
     """
     env = scene.env
-    uv = dir_to_uv(d)
+    uv = dir_to_uv(d, env.rotation)
     # note: sample_bilinear flips v; the env map stores v=0 at the top which
     # is already this orientation, so flip back
     uv = jnp.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
@@ -75,9 +78,18 @@ def sample_env_direction(scene: SceneData, wl, u_uv):
     p_row = _cell_probs(env.marginal_cdf)[row]
     p_col = jax.vmap(lambda a, c: _cell_probs(a)[c])(cond_rows, col)
 
-    u = (col.astype(jnp.float32) + 0.5) / w
-    v = (row.astype(jnp.float32) + 0.5) / h
-    d = uv_to_dir(jnp.stack([u, v], axis=-1))
+    # jitter within the selected texel: the CDF remainder of the search value
+    # is uniform in [0,1) conditioned on the cell, so it is free stratified
+    # jitter (the pdf is the piecewise-constant density over the whole cell)
+    cdf_row_lo = jnp.where(row > 0, env.marginal_cdf[jnp.maximum(row - 1, 0)], 0.0)
+    jv = jnp.clip((u_uv[:, 0] - cdf_row_lo) / jnp.maximum(p_row, 1e-20), 0.0, 1.0)
+    cdf_col_lo = jax.vmap(
+        lambda a, c: jnp.where(c > 0, a[jnp.maximum(c - 1, 0)], 0.0))(cond_rows, col)
+    ju = jnp.clip((u_uv[:, 1] - cdf_col_lo) / jnp.maximum(p_col, 1e-20), 0.0, 1.0)
+
+    u = (col.astype(jnp.float32) + ju) / w
+    v = (row.astype(jnp.float32) + jv) / h
+    d = uv_to_dir(jnp.stack([u, v], axis=-1), env.rotation)
 
     theta = v * math.pi
     sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
@@ -92,7 +104,7 @@ def env_pdf_direction(scene: SceneData, d):
     """pdf of sampling direction d (BSDF-side MIS, :234-259)."""
     env = scene.env
     h, w = env.rgb.shape[0], env.rgb.shape[1]
-    uv = dir_to_uv(d)
+    uv = dir_to_uv(d, env.rotation)
     col = jnp.clip((uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
     p_row = _cell_probs(env.marginal_cdf)[row]

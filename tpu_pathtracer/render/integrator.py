@@ -127,7 +127,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         radiance = radiance + jnp.where(miss[:, None], throughput * env_l, 0.0)
 
     # first-hit emissive (base_renderer.rs:189-194)
-    le = bsdf_mod.emitted_radiance(scene, it, wl)
+    le = bsdf_mod.emitted_radiance(scene, meta, it, wl)
     radiance = radiance + jnp.where(it.valid[:, None], throughput * le, 0.0)
 
     if strategy == "albedo":
@@ -191,7 +191,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         f_over_pdf = ms.f * inv_pdf[:, None]
 
         # emissive radiance of the next hit
-        le2 = bsdf_mod.emitted_radiance(scene, it2, wl)
+        le2 = bsdf_mod.emitted_radiance(scene, meta, it2, wl)
         emit_contrib = throughput * f_over_pdf * le2      # (R, 4)
 
         if strategy == "pt":

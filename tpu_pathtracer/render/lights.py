@@ -31,10 +31,6 @@ from . import bsdf as bsdf_mod
 RAY_EPS_NEE = 1.0e-4   # ref: renderer/src/renderer/common.rs:12
 BIG_T = 3.0e38
 
-# max triangles per single area light for the masked CDF scan (static);
-# demo scenes use 1-2 triangle lights
-MAX_AREA_LIGHT_TRIS = 8
-
 
 class NeeResult(NamedTuple):
     contribution: jnp.ndarray  # (R, 4)
@@ -85,19 +81,32 @@ def light_probability(scene: SceneData, meta: SceneMeta, wl, light_row):
 # NEE
 # ---------------------------------------------------------------------------
 
-def _sample_area_point(scene: SceneData, light_row, s, uv2):
+def _sample_area_point(scene: SceneData, meta: SceneMeta, light_row, s, uv2):
     """Uniform-area point on an area light (emissive_triangle_mesh.rs:176-230).
 
-    Returns (p (R,3), light_normal (R,3), tri (R,), ok)."""
+    The triangle is found by a lower-bound binary search of the light's
+    per-light CDF run — ``ceil(log2(meta.max_area_tris))`` static steps, so
+    emissive meshes of ANY triangle count sample correctly (no silent cap).
+
+    Returns (p (R,3), light_normal (R,3), tri (R,), uv (R,2))."""
     first = scene.lights.area_first_tri[light_row]
     n_tris = scene.lights.area_n_tris[light_row]
-    # masked CDF scan over the light's triangles
-    at = jnp.zeros_like(light_row)
-    for k in range(MAX_AREA_LIGHT_TRIS):
-        i = jnp.clip(first + k, 0, scene.area_tri.shape[0] - 1)
-        below = (k < n_tris - 1) & (s >= scene.area_tri_cdf[i])
-        at = jnp.where(below, k + 1, at)
-    gi = jnp.clip(first + at, 0, scene.area_tri.shape[0] - 1)
+    n_rows = scene.area_tri.shape[0]
+
+    # first k in [0, n) with s < cdf[first + k] (clamped to n - 1);
+    # lower-bound binary search needs ceil(log2(n + 1)) halvings to shrink
+    # the [lo, hi) interval from length n to 0
+    lo = jnp.zeros_like(light_row)
+    hi = jnp.maximum(n_tris, 1)
+    steps = int(math.ceil(math.log2(meta.max_area_tris + 1)))
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        c = scene.area_tri_cdf[jnp.clip(first + mid, 0, n_rows - 1)]
+        go_right = s >= c
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    at = jnp.clip(lo, 0, jnp.maximum(n_tris - 1, 0))
+    gi = jnp.clip(first + at, 0, n_rows - 1)
     tri = scene.area_tri[gi]
 
     # barycentric warp (emissive_triangle_mesh.rs:199-209)
@@ -111,7 +120,9 @@ def _sample_area_point(scene: SceneData, light_row, s, uv2):
     p2 = scene.bvh.p2[tri]
     p = b0[:, None] * p0 + b1[:, None] * p1 + b2[:, None] * p2
     n = normalize(jnp.cross(p1 - p0, p2 - p0))
-    return p, n, tri
+    uv = (b0[:, None] * scene.tri_uv0[tri] + b1[:, None] * scene.tri_uv1[tri]
+          + b2[:, None] * scene.tri_uv2[tri])
+    return p, n, tri, uv
 
 
 def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
@@ -175,7 +186,7 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
 
     if LIGHT_AREA in types:
         m = lt == LIGHT_AREA
-        p, ln, _tri = _sample_area_point(scene, light_row, u_s, u_uv)
+        p, ln, _tri, uv_l = _sample_area_point(scene, meta, light_row, u_s, u_uv)
         dvec = p - it.position
         d2 = jnp.maximum(dot(dvec, dvec), 1e-12)
         wdir = dvec / jnp.sqrt(d2)[:, None]
@@ -183,8 +194,11 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
         area_total = jnp.maximum(scene.lights.area_total[light_row], 1e-12)
         pdf_area = 1.0 / area_total                       # :284-288
         g = cos_l / d2                                    # geometric term
-        # radiance = emission spd * scale (UniformEdf)
-        le = l_spec * l_int[:, None]
+        # radiance = material emission at the sampled point (UniformEdf;
+        # textured radiance samples emission_tex, emissive_material.rs:15-80)
+        le = bsdf_mod.emission_spectral(
+            scene, meta, jnp.maximum(scene.lights.mat_id[light_row], 0),
+            uv_l, wl)
         wi = jnp.where(m[:, None], wdir, wi)
         t_max = jnp.where(m, jnp.sqrt(d2) - 2.0 * RAY_EPS_NEE, t_max)
         light_term = jnp.where(m[:, None], le * (g / pdf_area)[:, None],
@@ -256,7 +270,12 @@ def pdf_env_for_direction(scene: SceneData, meta: SceneMeta, wl, direction):
     if not meta.has_env:
         return jnp.zeros(direction.shape[0])
     from .env import env_pdf_direction
+    # the scene builder enforces exactly one env light (builder.add_env_light
+    # raises on a second), so the sum over infinite lights is this one term
     env_rows = [i for i, t in enumerate(meta.light_types) if t == LIGHT_ENV]
-    row = jnp.full(direction.shape[:1], env_rows[0], jnp.int32)
-    prob = light_probability(scene, meta, wl, row)
-    return prob * env_pdf_direction(scene, direction)
+    pdf = jnp.zeros(direction.shape[0])
+    for er in env_rows:
+        row = jnp.full(direction.shape[:1], er, jnp.int32)
+        prob = light_probability(scene, meta, wl, row)
+        pdf = pdf + prob * env_pdf_direction(scene, direction)
+    return pdf

@@ -6,10 +6,11 @@ Replaces the reference's stateful ``Sampler`` trait
 index through its wavefront loop, so no sampler state crosses device
 boundaries (SURVEY §2.8 design note).
 
-Random sampler: threefry (jax.random) keyed by (seed, sample, dim), indexed
-by pixel lane.  Unlike the reference's ThreadRng (which ignores the seed and
-is non-deterministic, random_sampler.rs:25-29) ours is deterministic — a
-strict improvement covered by the same statistical RMSE tests.
+Random sampler: threefry (jax.random) keyed by (seed, sample, dim) with the
+pixel's Morton code folded in per lane.  Unlike the reference's ThreadRng
+(which ignores the seed and is non-deterministic, random_sampler.rs:25-29)
+ours is deterministic — a strict improvement covered by the same statistical
+RMSE tests.
 
 ZSobol sampler: faithful vectorization of the PBRT-v4 Z-order Sobol scheme
 (z_sobol_sampler.rs:32-235): Morton-interleaved (pixel, sample) index,
@@ -127,21 +128,33 @@ def _u32_to_unit_float(v):
 
 @dataclasses.dataclass(frozen=True)
 class RandomSampler:
-    """Counter-based uniform sampler (deterministic ThreadRng replacement)."""
+    """Counter-based uniform sampler (deterministic ThreadRng replacement).
+
+    Every draw is a pure function of (seed, pixel, sample, dim): the pixel's
+    Morton code is folded into the threefry key, so disjoint pixel tiles and
+    mesh shards draw decorrelated streams — a tile-sized render of pixel
+    block B is bitwise identical to the same pixels inside a full-frame
+    render (required by integrator tiling and parallel.render_sharded).
+    """
     seed: int
     spp: int
     resolution: tuple  # (w, h) — unused, kept for API parity
 
-    def _key(self, sample_idx, dim):
+    def _keys(self, pixel_xy, sample_idx, dim):
         k = jax.random.PRNGKey(self.seed)
-        return jax.random.fold_in(jax.random.fold_in(k, dim), sample_idx)
+        k = jax.random.fold_in(jax.random.fold_in(k, dim), sample_idx)
+        m = morton2(pixel_xy[:, 0].astype(jnp.uint32),
+                    pixel_xy[:, 1].astype(jnp.uint32))
+        return jax.vmap(jax.random.fold_in, (None, 0))(k, m)
 
     def get_1d(self, pixel_xy, sample_idx, dim):
-        """pixel_xy: (R, 2) int pixel coords -> (R,) uniforms (lane-keyed)."""
-        return jax.random.uniform(self._key(sample_idx, dim), (pixel_xy.shape[0],))
+        """pixel_xy: (R, 2) int pixel coords -> (R,) uniforms."""
+        keys = self._keys(pixel_xy, sample_idx, dim)
+        return jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
 
     def get_2d(self, pixel_xy, sample_idx, dim):
-        return jax.random.uniform(self._key(sample_idx, dim), (pixel_xy.shape[0], 2))
+        keys = self._keys(pixel_xy, sample_idx, dim)
+        return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -213,7 +213,15 @@ class SceneBuilder:
 
     def add_env_light(self, rgb_image: np.ndarray, intensity: float = 1.0,
                       rotation_deg: float = 0.0) -> None:
-        """Equirect HDR environment light (ref: environment_light.rs)."""
+        """Equirect HDR environment light (ref: environment_light.rs).
+
+        One environment light per scene: pdf_env_for_direction sums over
+        infinite lights (Scene::pdf_infinite_light_sample, scene.rs:185-210)
+        and we keep that sum trivially correct by rejecting a second env.
+        """
+        if self._env is not None:
+            raise ValueError("scene already has an environment light; "
+                             "only one is supported")
         img = np.asarray(rgb_image, np.float32) * intensity
         self._env = dict(rgb=img, rotation=float(np.radians(rotation_deg)))
 
@@ -471,11 +479,16 @@ class SceneBuilder:
             row_sum = weights.sum(1)
             marginal = np.cumsum(row_sum) / row_sum.sum()
             conditional = np.cumsum(weights, 1) / weights.sum(1, keepdims=True)
-            avg_rgb = img.reshape(-1, 3).mean(0)
+            # solid-angle (sin theta) weighted average radiance — matches the
+            # reference's integrated average spectrum for phi
+            # (environment_light.rs:50-66,299-301) up to spectral upsampling
+            avg_rgb = ((img * sin_t[:, None, None]).sum((0, 1))
+                       / (sin_t.sum() * w))
             env = EnvMap(rgb=jnp.asarray(img),
                          marginal_cdf=jnp.asarray(marginal, jnp.float32),
                          conditional_cdf=jnp.asarray(conditional, jnp.float32),
-                         avg_rgb=jnp.asarray(avg_rgb, jnp.float32))
+                         avg_rgb=jnp.asarray(avg_rgb, jnp.float32),
+                         rotation=jnp.asarray(self._env["rotation"], jnp.float32))
             # env phi: avg spectrum row; power scale like a sphere light
             avg_row = bank_row(self._rgb_to_illum_dense(avg_rgb))
             lights.append(dict(
@@ -546,5 +559,8 @@ class SceneBuilder:
             n_tris=len(P),
             has_env=env is not None,
             texture_shapes=tuple(tuple(t.data.shape) for t in self._textures),
+            max_area_tris=max([l["area_n"] for l in lights
+                               if "area_first" in l], default=1),
+            has_emission_tex=bool((mt["emission_tex"] >= 0).any()),
         )
         return data, meta

@@ -125,7 +125,11 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
                     best = (cost, axis, k, bins)
 
         leaf_cost = COST_LEAF_ITEM * n_items
-        if best is None or (best[0] >= leaf_cost and n_items <= MAX_LEAF_SIZE):
+        # a leaf is only allowed when it fits the device traversal's static
+        # leaf width; degenerate clusters (all centroids identical, no SAH
+        # split exists) above that size MUST median-split (mirrors the native
+        # builder, native/bvh_builder.cpp:182-196)
+        if n_items <= MAX_LEAF_SIZE and (best is None or best[0] >= leaf_cost):
             left[node] = start
             count[node] = n_items
             continue

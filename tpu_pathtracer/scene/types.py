@@ -105,7 +105,8 @@ class EnvMap(NamedTuple):
     # luminance*sin(theta) two-stage CDFs for importance sampling (:165-215)
     marginal_cdf: jnp.ndarray   # (H,) row CDF
     conditional_cdf: jnp.ndarray  # (H, W) per-row column CDF
-    avg_rgb: jnp.ndarray        # (3,) integrated average color (for phi)
+    avg_rgb: jnp.ndarray        # (3,) sin(theta)-weighted average color (phi)
+    rotation: jnp.ndarray       # () f32 azimuth rotation (radians)
 
 
 class SceneData(NamedTuple):
@@ -143,6 +144,11 @@ class SceneMeta(NamedTuple):
     n_tris: int
     has_env: bool
     texture_shapes: Tuple[Tuple[int, ...], ...]
+    # largest triangle count over all area lights: sizes the static binary
+    # search in the NEE area-point sampler (any count works; no silent cap)
+    max_area_tris: int = 1
+    # any material has a textured emission (gates the Le texture fetch)
+    has_emission_tex: bool = False
 
     @property
     def present_mat_kinds(self) -> Tuple[int, ...]:
