@@ -97,3 +97,42 @@ def test_python_builder_degenerate_leaves():
     h = jax.jit(trace.intersect)(arrs, o, d)
     assert bool(np.asarray(h.hit)[0])
     assert abs(float(np.asarray(h.t)[0]) - 1.0) < 1e-5
+
+
+def test_brute_method_matches_bvh():
+    """Dense-block (gather-free) traversal == BVH on hits/t/tri/occlusion."""
+    m = mesh.bunny(subdiv=16)
+    arrs = _bvh_arrays(m)
+    o, d = _random_rays(512, np.random.default_rng(2))
+    hb = jax.jit(lambda o, d: trace.intersect(arrs, o, d, method="bvh"))(o, d)
+    hr = jax.jit(lambda o, d: trace.intersect(arrs, o, d, method="brute"))(o, d)
+    assert (np.asarray(hb.hit) == np.asarray(hr.hit)).all()
+    both = np.asarray(hb.hit)
+    assert np.abs(np.asarray(hb.t) - np.asarray(hr.t))[both].max() == 0.0
+    assert (np.asarray(hb.tri) == np.asarray(hr.tri))[both].all()
+    tmax = jnp.full((512,), 2.5, jnp.float32)
+    ob = jax.jit(lambda o, d: trace.intersect_p(arrs, o, d, tmax,
+                                                method="bvh"))(o, d)
+    orr = jax.jit(lambda o, d: trace.intersect_p(arrs, o, d, tmax,
+                                                 method="brute"))(o, d)
+    assert (np.asarray(ob) == np.asarray(orr)).all()
+
+
+def test_pallas_kernel_matches_bvh_interpret():
+    """The Pallas traversal kernel (interpret mode on CPU) == BVH, including
+    ray-count padding, active masks and t_max."""
+    from tpu_pathtracer.ops import pallas_trace
+    m = mesh.dragon(n_u=48, n_v=10)
+    arrs = _bvh_arrays(m)
+    n = 300   # deliberately not a multiple of the 128-ray tile
+    o, d = _random_rays(n, np.random.default_rng(3))
+    act = jnp.asarray(np.random.default_rng(4).uniform(size=n) < 0.7)
+    hb = jax.jit(lambda o, d: trace.intersect(arrs, o, d, active=act,
+                                              method="bvh"))(o, d)
+    hp = pallas_trace.traverse(arrs, o, d, jnp.asarray(3e38), active=act,
+                               interpret=True)
+    assert (np.asarray(hb.hit) == np.asarray(hp.hit)).all()
+    both = np.asarray(hb.hit)
+    assert np.abs(np.asarray(hb.t) - np.asarray(hp.t))[both].max() == 0.0
+    assert np.abs(np.asarray(hb.b1) - np.asarray(hp.b1))[both].max() == 0.0
+    assert not np.asarray(hp.hit)[~np.asarray(act)].any()

@@ -23,6 +23,7 @@ array's shape.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -30,12 +31,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.math import intersect_aabb, intersect_triangle
+from ..utils.math import (intersect_aabb, intersect_triangle,
+                          intersect_triangle_block)
 
 BIG_T = 3.0e38
 
 # static leaf width; must match scene.bvh.MAX_LEAF_SIZE
 MAX_LEAF = 4
+
+# triangle block width for the gather-free (brute/pallas) traversals: one
+# VPU lane row per block
+BLOCK = 128
 
 
 class BVHArrays(NamedTuple):
@@ -48,6 +54,12 @@ class BVHArrays(NamedTuple):
     tri9:    (T, 9) f32  — packed triangle vertices [p0 p1 p2]
     p0/p1/p2:(T, 3) f32  — same vertices unpacked (shading-side consumers)
     stack_hint: (D,) i8  — carries the required stack depth in its SHAPE
+
+    Block (clustered) layout for the gather-free traversals — triangles in
+    BVH leaf order (spatially coherent) grouped into BLOCK-sized runs:
+    tri9p:   (C*BLOCK, 9) f32 — tri9 zero-padded to whole blocks (a
+             degenerate all-zero triangle can never be hit: det == 0)
+    blk_min/blk_max: (C, 3) f32 — per-block AABB over the REAL triangles
     """
     nodes_f: jnp.ndarray
     nodes_i: jnp.ndarray
@@ -56,6 +68,9 @@ class BVHArrays(NamedTuple):
     p1: jnp.ndarray
     p2: jnp.ndarray
     stack_hint: jnp.ndarray
+    tri9p: jnp.ndarray
+    blk_min: jnp.ndarray
+    blk_max: jnp.ndarray
 
 
 def _leaf_ref(start: int, count: int) -> int:
@@ -102,6 +117,20 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
 
     P = np.asarray(P, np.float32)
     depth = int(getattr(fb, "depth", 32))
+
+    # block layout for the brute/pallas traversals
+    t = len(P)
+    c = max(-(-t // BLOCK), 1)
+    tri9p = np.zeros((c * BLOCK, 9), np.float32)
+    tri9p[:t] = P.reshape(t, 9)
+    blk_min = np.full((c, 3), np.inf, np.float32)
+    blk_max = np.full((c, 3), -np.inf, np.float32)
+    for k in range(c):
+        blk = P[k * BLOCK:(k + 1) * BLOCK]
+        if len(blk):
+            blk_min[k] = blk.reshape(-1, 3).min(0)
+            blk_max[k] = blk.reshape(-1, 3).max(0)
+
     return BVHArrays(
         nodes_f=jnp.asarray(nodes_f),
         nodes_i=jnp.asarray(nodes_i),
@@ -110,6 +139,9 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
         p1=jnp.asarray(P[:, 1]),
         p2=jnp.asarray(P[:, 2]),
         stack_hint=jnp.zeros((depth + 2,), jnp.int8),
+        tri9p=jnp.asarray(tri9p),
+        blk_min=jnp.asarray(blk_min),
+        blk_max=jnp.asarray(blk_max),
     )
 
 
@@ -219,6 +251,87 @@ def _traverse(bvh: BVHArrays, ray_o, ray_d, t_max, any_hit: bool,
                b2=s["best_b2"], hit=hit)
 
 
+def _traverse_blocks(bvh: BVHArrays, ray_o, ray_d, t_max, active=None):
+    """Gather-free clustered traversal: dense ray x triangle-block tests.
+
+    Rationale: on the target chip XLA lowers data-dependent gathers to a
+    ~0.5 GB/s path, so the stack traversal above — whose inner loop is
+    nothing but gathers — runs ~2 orders of magnitude below the VPU's dense
+    throughput (measured: 436 ms vs 93 ms for the same 16k-ray batch even
+    with NO culling).  This path instead streams BLOCK-sized runs of
+    leaf-ordered triangles (spatially coherent) through dense 2-D
+    (rays x block) watertight tests, skipping blocks whose AABB no live ray
+    hits (``lax.cond``) — camera-coherent ray tiles cull most blocks.
+    """
+    r = ray_o.shape[0]
+    c = bvh.blk_min.shape[0]
+    inv_d = 1.0 / ray_d
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, ray_o.dtype), (r,)) + 0.0
+    if active is not None:
+        t0 = jnp.where(active, t0, -1.0)   # inactive rays hit nothing
+
+    def step(k, carry):
+        best_t, best_tri, best_b1, best_b2 = carry
+        bmin = jax.lax.dynamic_slice(bvh.blk_min, (k, 0), (1, 3))  # (1, 3)
+        bmax = jax.lax.dynamic_slice(bvh.blk_max, (k, 0), (1, 3))
+        _, blk_hit = intersect_aabb(ray_o, inv_d, bmin, bmax, best_t)
+
+        def test(carry):
+            best_t, best_tri, best_b1, best_b2 = carry
+            blk = jax.lax.dynamic_slice(bvh.tri9p, (k * BLOCK, 0), (BLOCK, 9))
+            t, b1, b2, h = intersect_triangle_block(ray_o, ray_d, blk, best_t)
+            t = jnp.where(h, t, BIG_T)
+            j = jnp.argmin(t, axis=1)
+            tj = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+            better = tj < best_t
+            best_t = jnp.where(better, tj, best_t)
+            best_tri = jnp.where(better, k * BLOCK + j, best_tri)
+            best_b1 = jnp.where(
+                better, jnp.take_along_axis(b1, j[:, None], 1)[:, 0], best_b1)
+            best_b2 = jnp.where(
+                better, jnp.take_along_axis(b2, j[:, None], 1)[:, 0], best_b2)
+            return best_t, best_tri, best_b1, best_b2
+
+        return jax.lax.cond(jnp.any(blk_hit), test, lambda cr: cr,
+                            (best_t, best_tri, best_b1, best_b2))
+
+    init = (t0, jnp.full((r,), -1, jnp.int32), jnp.zeros((r,), ray_o.dtype),
+            jnp.zeros((r,), ray_o.dtype))
+    best_t, best_tri, best_b1, best_b2 = jax.lax.fori_loop(0, c, step, init)
+    hit = best_tri >= 0
+    return Hit(t=best_t, tri=best_tri, b1=best_b1, b2=best_b2, hit=hit)
+
+
+# triangle count above which the dense paths fall back to the BVH (dense
+# work grows O(R*T); at ~0.5M tris the BVH's gathers win even on this chip)
+MAX_DENSE_TRIS = 1 << 19
+
+_FORCED_METHOD = os.environ.get("TPT_TRAVERSAL")  # bvh | brute | pallas
+
+
+def _pick_method(bvh: BVHArrays) -> str:
+    if _FORCED_METHOD:
+        return _FORCED_METHOD
+    if jax.default_backend() == "cpu":
+        return "bvh"   # CPU XLA gathers are fine; BVH wins asymptotically
+    if bvh.tri9p.shape[0] <= MAX_DENSE_TRIS:
+        from . import pallas_trace
+        return "pallas" if pallas_trace.available() else "brute"
+    return "bvh"
+
+
+def _dispatch(method: str, bvh, ray_o, ray_d, t_max, active, any_hit: bool):
+    if method == "bvh":
+        return _traverse(bvh, ray_o, ray_d, t_max, any_hit=any_hit,
+                         active=active)
+    if method == "brute":
+        return _traverse_blocks(bvh, ray_o, ray_d, t_max, active=active)
+    if method == "pallas":
+        from . import pallas_trace
+        return pallas_trace.traverse(bvh, ray_o, ray_d, t_max, active=active)
+    raise ValueError(f"unknown traversal method {method!r}")
+
+
 def _zero_cotangent(x):
     # float0 cotangents for integer/bool primals, zeros for float primals
     if jnp.issubdtype(x.dtype, jnp.floating):
@@ -226,17 +339,17 @@ def _zero_cotangent(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@partial(jax.custom_vjp)
-def _intersect_detached(bvh, ray_o, ray_d, t_max, active):
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=False, active=active)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _intersect_detached(method, bvh, ray_o, ray_d, t_max, active):
+    return _dispatch(method, bvh, ray_o, ray_d, t_max, active, any_hit=False)
 
 
-def _intersect_fwd(bvh, ray_o, ray_d, t_max, active):
-    return (_intersect_detached(bvh, ray_o, ray_d, t_max, active),
+def _intersect_fwd(method, bvh, ray_o, ray_d, t_max, active):
+    return (_intersect_detached(method, bvh, ray_o, ray_d, t_max, active),
             (bvh, ray_o, ray_d, t_max, active))
 
 
-def _intersect_bwd(res, _g):
+def _intersect_bwd(method, res, _g):
     # Traversal is non-differentiable by design: hits are fixed sample
     # decisions (SURVEY.md §7.6); gradients flow only through shading.
     return tuple(jax.tree.map(_zero_cotangent, r) for r in res)
@@ -245,14 +358,14 @@ def _intersect_bwd(res, _g):
 _intersect_detached.defvjp(_intersect_fwd, _intersect_bwd)
 
 
-@partial(jax.custom_vjp)
-def _occluded_detached(bvh, ray_o, ray_d, t_max, active):
-    return _traverse(bvh, ray_o, ray_d, t_max, any_hit=True,
-                     active=active).hit
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _occluded_detached(method, bvh, ray_o, ray_d, t_max, active):
+    return _dispatch(method, bvh, ray_o, ray_d, t_max, active,
+                     any_hit=True).hit
 
 
-def _occluded_fwd(bvh, ray_o, ray_d, t_max, active):
-    return (_occluded_detached(bvh, ray_o, ray_d, t_max, active),
+def _occluded_fwd(method, bvh, ray_o, ray_d, t_max, active):
+    return (_occluded_detached(method, bvh, ray_o, ray_d, t_max, active),
             (bvh, ray_o, ray_d, t_max, active))
 
 
@@ -265,25 +378,33 @@ def _full_mask(ray_o, active):
     return active
 
 
-def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T, active=None) -> Hit:
+def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T, active=None,
+              method: str | None = None) -> Hit:
     """Closest-hit query for a batch of rays.
 
     ray_o, ray_d: (R, 3); active: optional (R,) bool — inactive rays skip
     traversal and report a miss.  Equivalent of ``Bvh::intersect``
     (scene/src/bvh.rs:344-444) + ``Scene::intersect`` (scene.rs:80-90).
-    Non-differentiable (custom zero-vjp): the traversal while_loop is
-    detached so reverse-mode flows through shading only.
+    Non-differentiable (custom zero-vjp): the traversal is detached so
+    reverse-mode flows through shading only.
+
+    method: "bvh" (stack while_loop), "brute" (dense blocks, XLA),
+    "pallas" (dense blocks, VMEM-resident kernel) or None = auto: BVH on
+    CPU, dense on accelerators (override with env TPT_TRAVERSAL).
     """
-    return _intersect_detached(bvh, ray_o, ray_d, jnp.asarray(t_max),
+    return _intersect_detached(method or _pick_method(bvh), bvh, ray_o,
+                               ray_d, jnp.asarray(t_max),
                                _full_mask(ray_o, active))
 
 
-def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max, active=None) -> jnp.ndarray:
+def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max, active=None,
+                method: str | None = None) -> jnp.ndarray:
     """Occlusion (any-hit) query; returns (R,) bool.
 
     Equivalent of ``Bvh::intersect_p`` (scene/src/bvh.rs:450-513).
     """
-    return _occluded_detached(bvh, ray_o, ray_d, jnp.asarray(t_max),
+    return _occluded_detached(method or _pick_method(bvh), bvh, ray_o,
+                              ray_d, jnp.asarray(t_max),
                               _full_mask(ray_o, active))
 
 

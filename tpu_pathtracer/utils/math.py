@@ -242,6 +242,82 @@ def intersect_triangle(ray_o, ray_d, p0, p1, p2, t_max):
     return t, b1, b2, hit
 
 
+def intersect_triangle_block(ray_o, ray_d, tri9, t_max):
+    """Watertight ray x triangle-block test in component (SoA) form.
+
+    Same math as ``intersect_triangle`` but restructured for the TPU VPU:
+    rays broadcast along sublanes, triangles along lanes, every intermediate
+    a 2-D (R, T) array — no (…, 3) minor axis, so Mosaic/XLA keep all 128
+    lanes busy.  This is the building block of the gather-free brute-force /
+    clustered traversal (the device this targets executes XLA gathers at
+    ~0.5 GB/s, so the BVH's data-dependent loads lose to dense math by ~2
+    orders of magnitude; see ops/trace.py).
+
+    ray_o, ray_d: (R, 3); tri9: (T, 9) packed [p0 p1 p2]; t_max: (R,).
+    Returns (t, b1, b2, hit), each (R, T).
+    """
+    # per-ray axis permutation (z = largest |d| component)
+    d_abs = jnp.abs(ray_d)
+    kz = jnp.argmax(d_abs, axis=-1)[:, None]              # (R, 1)
+    kx = (kz + 1) % 3
+    ky = (kz + 2) % 3
+
+    def ray_comp(v, k):
+        return jnp.take_along_axis(v, k, axis=-1)         # (R, 1)
+
+    dx = ray_comp(ray_d, kx)
+    dy = ray_comp(ray_d, ky)
+    dz = ray_comp(ray_d, kz)
+    ox = ray_comp(ray_o, kx)
+    oy = ray_comp(ray_o, ky)
+    oz = ray_comp(ray_o, kz)
+    sx = -dx / dz                                          # (R, 1)
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    def tri_comp(base, k):
+        """Select triangle column (base + k) by per-ray axis k: (R, T)."""
+        c0 = tri9[:, base + 0][None, :]
+        c1 = tri9[:, base + 1][None, :]
+        c2 = tri9[:, base + 2][None, :]
+        return jnp.where(k == 0, c0, jnp.where(k == 1, c1, c2))
+
+    t_maxc = t_max[:, None]
+    # translated + permuted + sheared 2-D coordinates per vertex
+    pxs, pys, pzs = [], [], []
+    for v in range(3):
+        base = 3 * v
+        vx = tri_comp(base, kx) - ox
+        vy = tri_comp(base, ky) - oy
+        vz = tri_comp(base, kz) - oz
+        pxs.append(vx + sx * vz)
+        pys.append(vy + sy * vz)
+        pzs.append(sz * vz)
+
+    e0 = _diff_of_products(pxs[1], pys[2], pys[1], pxs[2])
+    e1 = _diff_of_products(pxs[2], pys[0], pys[2], pxs[0])
+    e2 = _diff_of_products(pxs[0], pys[1], pys[0], pxs[1])
+
+    same_side = (((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+                 | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)))
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    t_scaled = e0 * pzs[0] + e1 * pzs[1] + e2 * pzs[2]
+
+    neg_det = det < 0.0
+    t_ok = jnp.where(
+        neg_det,
+        (t_scaled <= 0.0) & (t_scaled > t_maxc * det),
+        (t_scaled >= 0.0) & (t_scaled < t_maxc * det))
+
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    b1 = e1 * inv_det
+    b2 = e2 * inv_det
+    t = t_scaled * inv_det
+    hit = same_side & det_ok & t_ok & (t > 1e-6)
+    return t, b1, b2, hit
+
+
 # ---------------------------------------------------------------------------
 # AABB slab test
 # ---------------------------------------------------------------------------
