@@ -48,6 +48,42 @@ def test_metal_presets_exist():
         assert (eta > 0).all() and (k >= 0).all()
 
 
+def test_metal_presets_measured_anchors():
+    """Dense curves hit the measured table values (ref: presets.rs:2365-2560)
+    at wavelengths that are knots of the interleaved source tables."""
+    anchors = {
+        # name: (lam_nm, eta_at_lam, k_at_lam) straight from the tables
+        "au": (539.06165, 0.402, 2.54),
+        "ag": (551.0408, 0.124375, 3.348125),
+        "cu": (590.4008, 0.468, 2.809),
+        "al": (604.80084, 1.22, 7.31),
+        "cuzn": (600.0, 0.450, 3.253),
+    }
+    for name, (lam, eta_ref, k_ref) in anchors.items():
+        eta, k = cie.metal_eta_k(name)
+        i = int(round(lam - 360.0))
+        # the dense grid is 1nm; linear interp error at a knot is tiny
+        assert abs(eta[i] - eta_ref) < 0.02, (name, eta[i], eta_ref)
+        assert abs(k[i] - k_ref) < 0.05, (name, k[i], k_ref)
+
+
+def test_illum_f_chromaticity():
+    """F2 (cool white) and F7 (D65 simulator) land on their published CIE
+    chromaticities — a whole-curve check of the measured F tables."""
+    xbar, ybar, zbar = cie.cie_x(), cie.cie_y(), cie.cie_z()
+
+    def xy(spd):
+        X = grid.inner_product(spd, xbar)
+        Y = grid.inner_product(spd, ybar)
+        Z = grid.inner_product(spd, zbar)
+        return X / (X + Y + Z), Y / (X + Y + Z)
+
+    x2, y2 = xy(cie.illum_f(2))
+    assert abs(x2 - 0.3721) < 0.01 and abs(y2 - 0.3751) < 0.01
+    x7, y7 = xy(cie.illum_f(7))
+    assert abs(x7 - 0.3129) < 0.01 and abs(y7 - 0.3292) < 0.01
+
+
 def test_illuminants_normalized():
     ybar = cie.cie_y()
     for illum in (cie.illum_a(), cie.illum_d5000(), cie.illum_d60(),

@@ -240,11 +240,21 @@ def _traverse_pallas(tri_t, blk_min, blk_max, ray_o, ray_d, t_max,
     return t[:, 0], tri[:, 0], b1[:, 0], b2[:, 0]
 
 
+# SMEM budget for the scalar-prefetch cull table: n_prog * n_blocks i32
+# entries ride into SMEM per pallas_call.  Exceeding the chip's scalar
+# memory hard-faults the TPU worker (observed at 2048 programs x 97 blocks,
+# ~800 KB), so large ray batches are split across sequential calls whose
+# table stays under this budget (512 x 97 ~ 200 KB is proven safe).
+_SMEM_CNT_BUDGET_BYTES = 192 * 1024
+
+
 def traverse(bvh, ray_o, ray_d, t_max, active=None, interpret=False):
     """Closest-hit query via the Pallas kernel; Hit-compatible result.
 
     Pads the ray batch to a whole number of RAY_TILE programs; inactive
-    rays carry t_max = -1 so they can never record a hit.
+    rays carry t_max = -1 so they can never record a hit.  Batches whose
+    scalar-prefetch cull table would overflow SMEM are traced as a
+    sequential ``lax.map`` over ray chunks.
     """
     from .trace import Hit
 
@@ -252,14 +262,36 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, interpret=False):
     t0 = jnp.broadcast_to(jnp.asarray(t_max, ray_o.dtype), (r,)) + 0.0
     if active is not None:
         t0 = jnp.where(active, t0, -1.0)
-    pad = (-r) % RAY_TILE
+
+    n_blocks = bvh.tri9p.shape[0] // BLOCK
+    max_prog = max(1, _SMEM_CNT_BUDGET_BYTES // (4 * n_blocks))
+    chunk = max_prog * RAY_TILE
+
+    pad = (-r) % (RAY_TILE if r <= chunk else chunk)
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3))], 0)
         ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3))], 0)
         t0 = jnp.concatenate([t0, jnp.full((pad,), -1.0)], 0)
-    t, tri, b1, b2 = _traverse_pallas(
-        jnp.swapaxes(bvh.tri9p, 0, 1), bvh.blk_min, bvh.blk_max,
-        ray_o, ray_d, t0, interpret=interpret)
+
+    tri_t = jnp.swapaxes(bvh.tri9p, 0, 1)
+    if ray_o.shape[0] <= chunk:
+        t, tri, b1, b2 = _traverse_pallas(
+            tri_t, bvh.blk_min, bvh.blk_max, ray_o, ray_d, t0,
+            interpret=interpret)
+    else:
+        n_chunks = ray_o.shape[0] // chunk
+
+        def one(args):
+            o, d, tm = args
+            return _traverse_pallas(tri_t, bvh.blk_min, bvh.blk_max,
+                                    o, d, tm, interpret=interpret)
+
+        t, tri, b1, b2 = jax.lax.map(
+            one, (ray_o.reshape(n_chunks, chunk, 3),
+                  ray_d.reshape(n_chunks, chunk, 3),
+                  t0.reshape(n_chunks, chunk)))
+        t, tri, b1, b2 = (t.reshape(-1), tri.reshape(-1),
+                          b1.reshape(-1), b2.reshape(-1))
     t, tri, b1, b2 = t[:r], tri[:r], b1[:r], b2[:r]
     # padded degenerate triangles can never hit; ids past the real count
     # cannot appear, but clamp defensively for downstream gathers

@@ -16,10 +16,11 @@ Sources of the analytic models (all public):
     (standard table), with the CCT->chromaticity polynomial — same model the
     reference uses for ``cie_d`` (presets.rs:263-296).
   * D65: the standard CIE 5nm relative SPD anchor table.
-  * F-series: three-band Gaussian + mercury-line approximation (documented
-    approximation; the reference embeds the measured tables).
+  * F-series: the measured CIE 15:2004 5nm tables (``measured_data``).
   * Glass dispersion: Schott catalog Sellmeier coefficients (public).
-  * Metal complex IOR: smooth anchors after Johnson & Christy / Palik.
+  * Metal complex IOR: measured Johnson & Christy / Palik / Querry tables
+    (``measured_data``), the same public data the reference embeds
+    (presets.rs:2365-2978).
 
 All functions return dense (470,) numpy arrays on the grid of
 ``spectrum.grid`` unless noted.  Illuminants marked *normalized* are divided
@@ -33,6 +34,7 @@ from functools import lru_cache
 
 import numpy as np
 
+from . import measured_data as _md
 from .grid import DENSE_LAMBDA, bake_piecewise, inner_product
 
 __all__ = [
@@ -200,97 +202,60 @@ def illum_d5000() -> np.ndarray:
     return cie_d(5000.0)
 
 
+def _bake_interleaved(flat) -> np.ndarray:
+    """Bake an interleaved (lam0, v0, lam1, v1, ...) table onto the dense grid
+    (ref: PiecewiseLinearSpectrum::from_interleaved, piecewise_linear_spectrum.rs:17-45)."""
+    arr = np.asarray(flat, dtype=np.float64)
+    return bake_piecewise(arr[0::2], arr[1::2])
+
+
 @lru_cache(maxsize=None)
 def illum_d60() -> np.ndarray:
-    """ACES nominal white: D-series at 6000K (the reference embeds the
-    measured ACES_ILLUM_D60 table, presets.rs)."""
-    return cie_d(6000.0)
+    """ACES nominal white: the measured ACES_ILLUM_D60 table (normalized;
+    ref: presets.rs ACES_ILLUM_D60)."""
+    return _normalize_illum(_bake_interleaved(_md.ACES_ILLUM_D60))
 
 
 # ---------------------------------------------------------------------------
-# F-series fluorescents (approximation)
+# F-series fluorescents (measured CIE 15:2004 tables)
 # ---------------------------------------------------------------------------
-
-# (broadband1_mu, broadband1_sigma, w1, broadband2_mu, broadband2_sigma, w2,
-#  mercury line weight) per F index; chosen to reproduce the qualitative
-# CCT/shape of each CIE F illuminant (F1 daylight 6430K ... F12 tri-band 3000K).
-_F_PARAMS = {
-    1: (440.0, 45.0, 0.50, 560.0, 70.0, 0.75, 0.35),
-    2: (440.0, 40.0, 0.35, 580.0, 65.0, 0.85, 0.35),
-    3: (440.0, 38.0, 0.25, 590.0, 62.0, 0.90, 0.35),
-    4: (440.0, 36.0, 0.18, 600.0, 60.0, 0.95, 0.35),
-    5: (440.0, 45.0, 0.45, 560.0, 70.0, 0.72, 0.30),
-    6: (440.0, 40.0, 0.30, 585.0, 62.0, 0.88, 0.30),
-    7: (445.0, 50.0, 0.50, 565.0, 75.0, 0.75, 0.25),   # broadband, D65-like
-    8: (450.0, 52.0, 0.45, 575.0, 78.0, 0.80, 0.22),   # broadband, D50-like
-    9: (450.0, 50.0, 0.38, 590.0, 75.0, 0.85, 0.22),
-    10: (436.0, 14.0, 0.55, 545.0, 12.0, 1.00, 0.45),  # tri-band
-    11: (436.0, 13.0, 0.48, 545.0, 11.0, 1.00, 0.45),
-    12: (436.0, 12.0, 0.35, 545.0, 10.0, 0.95, 0.45),
-}
-_HG_LINES = ((404.7, 3.0, 0.35), (435.8, 3.0, 1.0), (546.1, 3.0, 0.9), (577.8, 4.0, 0.5))
 
 
 @lru_cache(maxsize=None)
 def illum_f(index: int) -> np.ndarray:
-    """Approximate CIE F1..F12 fluorescent SPD (normalized).
+    """CIE F1..F12 fluorescent SPD from the measured 5nm tables (normalized).
 
-    The reference embeds the measured CIE tables (presets.rs data); this is a
-    documented analytic stand-in: two phosphor bands + mercury emission lines.
-    Red tri-band phosphor at 611nm is added for the tri-band family F10-F12.
+    Ref: presets.rs:93-126 builds these with
+    ``PiecewiseLinearSpectrum::from_interleaved(CIE_ILLUM_Fn, true)``.
     """
-    mu1, s1, w1, mu2, s2, w2, wline = _F_PARAMS[index]
-    lam = DENSE_LAMBDA
-    spd = w1 * np.exp(-0.5 * ((lam - mu1) / s1) ** 2)
-    spd = spd + w2 * np.exp(-0.5 * ((lam - mu2) / s2) ** 2)
-    if index >= 10:
-        spd = spd + 0.95 * np.exp(-0.5 * ((lam - 611.0) / 6.0) ** 2)
-    for mu, s, w in _HG_LINES:
-        spd = spd + wline * w * np.exp(-0.5 * ((lam - mu) / s) ** 2)
-    return _normalize_illum(spd)
+    table = getattr(_md, f"CIE_ILLUM_F{index}")
+    return _normalize_illum(_bake_interleaved(table))
 
 
 # ---------------------------------------------------------------------------
-# Metal complex IOR (eta, k) anchors — smooth fits after Johnson&Christy/Palik
+# Metal complex IOR (eta, k): measured Johnson & Christy / Palik / Querry data
 # ---------------------------------------------------------------------------
 
-_METAL_ANCHORS = {
-    # lambda(nm): list of (lam, eta, k)
-    "au": [(400, 1.47, 1.95), (450, 1.40, 1.88), (500, 0.84, 1.90),
-           (550, 0.43, 2.46), (600, 0.25, 2.99), (650, 0.19, 3.48),
-           (700, 0.16, 3.95), (750, 0.16, 4.34), (800, 0.17, 4.70)],
-    "ag": [(400, 0.054, 2.20), (450, 0.046, 2.66), (500, 0.050, 3.13),
-           (550, 0.059, 3.59), (600, 0.055, 3.92), (650, 0.057, 4.27),
-           (700, 0.075, 4.62), (750, 0.086, 5.00), (800, 0.090, 5.30)],
-    "cu": [(400, 1.18, 2.21), (450, 1.15, 2.40), (500, 1.12, 2.60),
-           (550, 1.04, 2.59), (600, 0.47, 2.95), (650, 0.26, 3.43),
-           (700, 0.21, 3.85), (750, 0.22, 4.24), (800, 0.24, 4.62)],
-    "al": [(400, 0.49, 4.86), (450, 0.62, 5.47), (500, 0.77, 6.08),
-           (550, 0.96, 6.69), (600, 1.20, 7.26), (650, 1.47, 7.79),
-           (700, 1.83, 8.31), (750, 2.40, 8.62), (800, 2.80, 8.45)],
-    # Brass: Cu-like with a Zn shift toward yellow (approximation).
-    "cuzn": [(400, 1.25, 1.95), (450, 1.20, 2.10), (500, 1.05, 2.30),
-             (550, 0.75, 2.55), (600, 0.45, 2.95), (650, 0.38, 3.35),
-             (700, 0.37, 3.72), (750, 0.38, 4.05), (800, 0.40, 4.35)],
-    # MgO and TiO2 are (almost) lossless dielectrics in the visible.
-    "mgo": [(400, 1.762, 0.0), (500, 1.744, 0.0), (600, 1.735, 0.0),
-            (700, 1.730, 0.0), (800, 1.727, 0.0)],
-    "tio2": [(400, 2.97, 0.0), (450, 2.80, 0.0), (500, 2.70, 0.0),
-             (550, 2.64, 0.0), (600, 2.59, 0.0), (700, 2.54, 0.0),
-             (800, 2.50, 0.0)],
+_METAL_TABLES = {
+    "au": ("AU_ETA", "AU_K"),
+    "ag": ("AG_ETA", "AG_K"),
+    "cu": ("CU_ETA", "CU_K"),
+    "al": ("AL_ETA", "AL_K"),
+    "cuzn": ("CU_ZN_ETA", "CU_ZN_K"),
+    "mgo": ("MG_O_ETA", "MG_O_K"),
+    "tio2": ("TI_O2_ETA", "TI_O2_K"),
 }
 
-METALS = tuple(_METAL_ANCHORS.keys())
+METALS = tuple(_METAL_TABLES.keys())
 
 
 @lru_cache(maxsize=None)
 def metal_eta_k(name: str):
-    """(eta_dense, k_dense) for a metal preset (ref: presets.rs AG_ETA etc.)."""
-    anchors = _METAL_ANCHORS[name]
-    lam = [a[0] for a in anchors]
-    eta = bake_piecewise(lam, [a[1] for a in anchors])
-    k = bake_piecewise(lam, [a[2] for a in anchors])
-    return eta, k
+    """(eta_dense, k_dense) for a metal preset from the measured tables
+    (ref: presets.rs AG_ETA/AG_K etc., built via from_interleaved at :130-156)."""
+    eta_name, k_name = _METAL_TABLES[name]
+    return (_bake_interleaved(getattr(_md, eta_name)),
+            _bake_interleaved(getattr(_md, k_name)))
 
 
 # ---------------------------------------------------------------------------
