@@ -27,8 +27,33 @@ def test_d65_whitepoint_through_cmfs():
                     grid.inner_product(d65, cie.cie_y()),
                     grid.inner_product(d65, cie.cie_z())])
     xy = xyz[:2] / xyz.sum()
-    assert abs(xy[0] - 0.3127) < 2e-3 and abs(xy[1] - 0.3290) < 2e-3
+    # standard 1nm CMF tables: the D65 white point lands on (0.3127, 0.3290)
+    # to ~3e-4 (limited by the 5nm D65 anchor table, not the CMFs)
+    assert abs(xy[0] - 0.3127) < 5e-4 and abs(xy[1] - 0.3290) < 5e-4
     assert abs(xyz[1] - 1.0) < 1e-6  # normalized illuminant
+
+
+def test_cmf_standard_table_anchors():
+    """The 1nm tables carry the standard CIE 1931 anchors."""
+    y = cie.cie_y()
+    # ybar integral (1nm Riemann) == 106.857 (CIE standard value)
+    assert abs(cie.cie_y_integral() - 106.857) < 0.01
+    # ybar peaks at 555nm with value ~1.0
+    i_peak = int(np.argmax(y))
+    assert abs(grid.DENSE_LAMBDA[i_peak] - 555.0) <= 2.0
+    assert abs(y[i_peak] - 1.0) < 5e-3
+    # xbar has its secondary (blue) lobe around 442nm
+    x = cie.cie_x()
+    assert abs(x[int(442 - 360)] - 0.348) < 0.02
+
+
+def test_cmf_matches_analytic_fit():
+    """Wyman-Sloan-Shirley fit cross-checks the table (<~1.5% of peak)."""
+    for table, fit in ((cie.cie_x(), cie.cie_x_analytic()),
+                       (cie.cie_y(), cie.cie_y_analytic()),
+                       (cie.cie_z(), cie.cie_z_analytic())):
+        err = np.max(np.abs(table - fit)) / np.max(table)
+        assert err < 0.02, err
 
 
 def test_glass_dispersion():

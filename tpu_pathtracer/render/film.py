@@ -10,6 +10,7 @@ terminate_secondary).
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax.numpy as jnp
@@ -19,6 +20,14 @@ from .. import color
 from ..color import eotf as eotf_mod
 from ..color import tone_map as tm_mod
 from ..spectrum import cie, grid
+
+# NaN/Inf observability (ref warns at the sensor: sensor.rs:41-42,
+# sampled_spectrum.rs:284-299).  Set TPT_DEBUG_NANS=1 to replace
+# non-finite spectral contributions with 0 AND report them via
+# jax.debug.print (works under jit); production leaves the check out of
+# the compiled graph entirely.  jax.config.update("jax_debug_nans", True)
+# remains the heavier stock option for localizing the producing op.
+DEBUG_NANS = os.environ.get("TPT_DEBUG_NANS", "") not in ("", "0")
 
 
 @lru_cache(maxsize=None)
@@ -32,6 +41,17 @@ def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
     contribution: (R, 4); wl: SampledWavelengths with (R, 4) lam/pdf.
     Mirrors Sensor::add_sample (sensor.rs:41-78).
     """
+    if DEBUG_NANS:
+        import jax
+
+        bad = ~jnp.isfinite(contribution)
+        n_bad = jnp.sum(bad)
+        jax.lax.cond(
+            n_bad > 0,
+            lambda n: jax.debug.print(
+                "film: {n} non-finite spectral contributions zeroed", n=n),
+            lambda n: None, n_bad)
+        contribution = jnp.where(bad, 0.0, contribution)
     cmf = jnp.asarray(_cmf_stack())  # (470, 3)
     idx = jnp.clip(jnp.floor(wl.lam - grid.LAMBDA_MIN).astype(jnp.int32), 0,
                    grid.N_DENSE - 1)

@@ -258,43 +258,100 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     return rgb
 
 
-def render(scene: SceneData, meta: SceneMeta, camera: Camera,
-           cfg: RenderConfig):
-    """Full render -> (H, W, 3) display-encoded image.
+# ---------------------------------------------------------------------------
+# Host-driven render loop.
+#
+# A render is NOT one device program.  Two hard platform facts (measured on
+# the target chip, round 3) force the structure:
+#
+#   1. The TPU worker kills any single device execution that runs longer
+#      than roughly a minute ("UNAVAILABLE: TPU worker crashed / kernel
+#      fault") and the chip stays poisoned for minutes afterwards.  A
+#      1024x1024x64spp render is minutes of device time, so the spp and
+#      tile loops MUST live on the host, with each device call bounded to a
+#      few seconds of work.
+#   2. ``Array.block_until_ready()`` does not actually wait on this
+#      platform; only host materialization (``np.asarray``) does.  All
+#      timing/driver code must materialize, not "block".
+#
+# Each device call accumulates CHUNK_SPP samples for one pixel tile into a
+# donated on-device film buffer; the host loop just enqueues calls (they
+# dispatch asynchronously and execute back-to-back on device) and
+# materializes once at the end.  The sample index rides in as a traced
+# scalar so every (tile, chunk) call reuses ONE compiled program.
+# ---------------------------------------------------------------------------
 
-    jit-compiled with scene data traced (scene edits don't recompile) and
-    meta/config static.
+# paths (pixel-samples) per device call: big enough to amortize dispatch,
+# small enough that a call stays well under the execution watchdog
+CALL_PATH_BUDGET = 1 << 18
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4), donate_argnums=(7,))
+def _accum_chunk(scene, meta, camera, cfg, chunk_spp, px_tile, spp_base,
+                 accum, max_depth_dyn):
+    """accum += sum of linear-RGB estimates for chunk_spp samples."""
+    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
+                           (cfg.width, cfg.height))
+
+    def body(i, acc):
+        return acc + trace_sample(scene, meta, camera, cfg, sampler, px_tile,
+                                  spp_base + i, max_depth_dyn=max_depth_dyn)
+
+    return jax.lax.fori_loop(0, chunk_spp, body, accum)
+
+
+def render_plan(cfg: RenderConfig):
+    """(tile_px, chunk_spp) device-call sizing for a config."""
+    n_px = cfg.width * cfg.height
+    tile = min(cfg.tile_rays, n_px, max(CALL_PATH_BUDGET, 1))
+    chunk_spp = max(1, min(cfg.spp, CALL_PATH_BUDGET // tile))
+    return tile, chunk_spp
+
+
+def render_accum(scene: SceneData, meta: SceneMeta, camera: Camera,
+                 cfg: RenderConfig, spp_start: int = 0,
+                 spp_end: int | None = None, accum_init=None):
+    """Linear-RGB film sum over samples [spp_start, spp_end) -> (H*W, 3).
+
+    The host loop drives (tile, spp-chunk) device calls; the film stays on
+    device (donated buffer) and is only materialized by the caller.
+    Deterministic: samples depend only on (pixel, sample index, dim), so
+    any chunking produces bit-identical results.
     """
-    # max_depth rides in as a runtime argument so the bounce loop's trip
-    # count is opaque to XLA (see trace_sample docstring)
-    return _render_jit(scene, meta, camera, cfg,
-                       jnp.asarray(cfg.max_depth, jnp.int32))
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _render_jit(scene, meta, camera, cfg, max_depth_dyn):
-    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp, (cfg.width, cfg.height))
+    spp_end = cfg.spp if spp_end is None else spp_end
     n_px = cfg.width * cfg.height
     pixel_xy = _pixel_grid(cfg.width, cfg.height)
-
-    def tile_accum(px_tile):
-        def body(s_idx, accum):
-            rgb = trace_sample(scene, meta, camera, cfg, sampler, px_tile,
-                               s_idx, max_depth_dyn=max_depth_dyn)
-            return accum + rgb
-        return jax.lax.fori_loop(0, cfg.spp, body,
-                                 jnp.zeros((px_tile.shape[0], 3)))
-
-    tile = min(cfg.tile_rays, n_px)
+    md = jnp.asarray(cfg.max_depth, jnp.int32)
+    tile, chunk_spp = render_plan(cfg)
     n_tiles = -(-n_px // tile)
-    if n_tiles == 1:
-        accum = tile_accum(pixel_xy)
+
+    pad = n_tiles * tile - n_px
+    if pad:
+        pixel_xy = jnp.concatenate(
+            [pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+
+    tiles_px = [pixel_xy[k * tile:(k + 1) * tile] for k in range(n_tiles)]
+    if accum_init is not None:
+        ai = jnp.asarray(accum_init)
+        if pad:
+            ai = jnp.concatenate([ai, jnp.zeros((pad, 3), ai.dtype)], 0)
+        accums = [ai[k * tile:(k + 1) * tile] for k in range(n_tiles)]
     else:
-        # pad to a whole number of tiles, march them sequentially
-        pad = n_tiles * tile - n_px
-        px = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
-        accum = jax.lax.map(tile_accum,
-                            px.reshape(n_tiles, tile, 2)).reshape(-1, 3)[:n_px]
+        accums = [jnp.zeros((tile, 3)) for _ in range(n_tiles)]
+
+    for s in range(spp_start, spp_end, chunk_spp):
+        n_s = min(chunk_spp, spp_end - s)
+        for k in range(n_tiles):
+            accums[k] = _accum_chunk(scene, meta, camera, cfg, n_s,
+                                     tiles_px[k], jnp.asarray(s, jnp.int32),
+                                     accums[k], md)
+    return jnp.concatenate(accums, 0)[:n_px]
+
+
+def render(scene: SceneData, meta: SceneMeta, camera: Camera,
+           cfg: RenderConfig):
+    """Full render -> (H, W, 3) display-encoded image."""
+    accum = render_accum(scene, meta, camera, cfg)
     img = film_mod.finalize(
         accum, cfg.spp,
         tone_map=cfg.tone_map if cfg.strategy in ("pt", "nee", "mis") else "none",
@@ -313,32 +370,33 @@ def count_rays_one_spp(scene: SceneData, meta: SceneMeta, camera: Camera,
     of a ``cfg.spp``-sample render is a faithful per-spp count because the
     sampler decorrelates bounces, not the expected path length.
     """
-    return float(_count_rays_jit(scene, meta, camera, cfg,
-                                 jnp.asarray(cfg.max_depth, jnp.int32)))
+    import numpy as np
+
+    n_px = cfg.width * cfg.height
+    pixel_xy = _pixel_grid(cfg.width, cfg.height)
+    md = jnp.asarray(cfg.max_depth, jnp.int32)
+    tile, _ = render_plan(cfg)
+    n_tiles = -(-n_px // tile)
+    pad = n_tiles * tile - n_px
+    if pad:
+        pixel_xy = jnp.concatenate(
+            [pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+    counts = [_count_tile_jit(scene, meta, camera, cfg, tile_px, md)
+              for tile_px in (pixel_xy[k * tile:(k + 1) * tile]
+                              for k in range(n_tiles))]
+    total = float(np.sum([np.asarray(c) for c in counts]))
+    if pad:
+        # padded rows duplicate pixel 0; subtract their share
+        n_pad = float(np.asarray(_count_tile_jit(
+            scene, meta, camera, cfg, pixel_xy[n_px:], md)))
+        total -= n_pad
+    return total
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
-def _count_rays_jit(scene, meta, camera, cfg, max_depth_dyn):
-    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp, (cfg.width, cfg.height))
-    n_px = cfg.width * cfg.height
-    pixel_xy = _pixel_grid(cfg.width, cfg.height)
-
-    def tile_count(px_tile):
-        _, n = trace_sample(scene, meta, camera, cfg, sampler, px_tile, 0,
-                            max_depth_dyn=max_depth_dyn, with_ray_count=True)
-        return n
-
-    tile = min(cfg.tile_rays, n_px)
-    n_tiles = -(-n_px // tile)
-    if n_tiles == 1:
-        return tile_count(pixel_xy)
-    # count whole tiles then correct for the padded (duplicate pixel-0) rays
-    pad = n_tiles * tile - n_px
-    px = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
-    total = jnp.sum(jax.lax.map(tile_count, px.reshape(n_tiles, tile, 2)))
-    if pad:
-        _, n_pad = trace_sample(scene, meta, camera, cfg, sampler,
-                                px[n_px:], 0, max_depth_dyn=max_depth_dyn,
-                                with_ray_count=True)
-        total = total - n_pad
-    return total
+def _count_tile_jit(scene, meta, camera, cfg, px_tile, max_depth_dyn):
+    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
+                           (cfg.width, cfg.height))
+    _, n = trace_sample(scene, meta, camera, cfg, sampler, px_tile, 0,
+                        max_depth_dyn=max_depth_dyn, with_ray_count=True)
+    return n

@@ -21,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import film as film_mod
-from .integrator import RenderConfig, _pixel_grid, trace_sample
-from .sampler import make_sampler
+from .integrator import RenderConfig, render_accum
 
 
 @dataclasses.dataclass
@@ -52,21 +51,6 @@ def _cfg_key(cfg: RenderConfig) -> str:
     return json.dumps(d, sort_keys=True)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
-def _chunk_accum(scene, meta, camera, cfg, pixel_xy, spp_start, spp_end,
-                 max_depth_dyn=None):
-    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
-                           (cfg.width, cfg.height))
-
-    def body(s_idx, accum):
-        return accum + trace_sample(scene, meta, camera, cfg, sampler,
-                                    pixel_xy, s_idx,
-                                    max_depth_dyn=max_depth_dyn)
-
-    return jax.lax.fori_loop(spp_start, spp_end, body,
-                             jnp.zeros((pixel_xy.shape[0], 3)))
-
-
 def render_progressive(scene, meta, camera, cfg: RenderConfig,
                        checkpoint_path: str | None = None,
                        chunk_spp: int = 16,
@@ -87,13 +71,11 @@ def render_progressive(scene, meta, camera, cfg: RenderConfig,
             accum=np.zeros((cfg.width * cfg.height, 3), np.float32),
             spp_done=0, cfg_key=key)
 
-    pixel_xy = _pixel_grid(cfg.width, cfg.height)
     while state.spp_done < cfg.spp:
         end = min(state.spp_done + chunk_spp, cfg.spp)
-        delta = _chunk_accum(scene, meta, camera, cfg, pixel_xy,
-                             state.spp_done, end,
-                             jnp.asarray(cfg.max_depth, jnp.int32))
-        state.accum = state.accum + np.asarray(delta)
+        state.accum = np.asarray(render_accum(
+            scene, meta, camera, cfg, spp_start=state.spp_done, spp_end=end,
+            accum_init=state.accum))
         state.spp_done = end
         if checkpoint_path:
             state.save(checkpoint_path)

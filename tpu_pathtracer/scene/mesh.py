@@ -15,10 +15,46 @@ in for the unavailable scans.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
-__all__ = ["Mesh", "load_obj", "quad", "box_interior", "uv_sphere", "bunny", "dragon"]
+__all__ = ["Mesh", "load_obj", "quad", "box_interior", "uv_sphere", "bunny",
+           "dragon", "try_load_asset"]
+
+# Real scanned assets are loaded from here when present (and not LFS
+# pointer stubs); TPT_ASSET_DIR overrides.
+ASSET_DIR = os.environ.get("TPT_ASSET_DIR", "/root/reference/renderer/assets")
+
+
+def _is_lfs_stub(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(32).startswith(b"version https://git-lfs")
+    except OSError:
+        return True
+
+
+def try_load_asset(name: str, fit_height: float | None = None):
+    """Load ``ASSET_DIR/name`` if it is a real OBJ (not an LFS stub).
+
+    Returns the Mesh or None.  When ``fit_height`` is given the mesh is
+    uniformly rescaled so its Y extent equals it, recentered in XZ with its
+    base at y=0 — the convention the procedural stand-ins use, so a real
+    scan drops into the same scene transforms.
+    """
+    path = os.path.join(ASSET_DIR, name)
+    if not os.path.isfile(path) or _is_lfs_stub(path):
+        return None
+    m = load_obj(path)
+    if fit_height is not None and len(m.positions):
+        p = m.positions
+        lo, hi = p.min(0), p.max(0)
+        s = fit_height / max(hi[1] - lo[1], 1e-9)
+        center = (lo + hi) * 0.5
+        p = (p - [center[0], lo[1], center[2]]) * s
+        m = dataclasses.replace(m, positions=p.astype(np.float32))
+    return m
 
 
 @dataclasses.dataclass
@@ -242,12 +278,16 @@ def _smooth_mesh(pos, indices, iters: int = 2):
 
 
 def bunny(scale: float = 1.0, subdiv: int = 48) -> Mesh:
-    """Procedural 'bunny' hero mesh (the real bunny.obj is an LFS stub).
+    """'Bunny' hero mesh: the real scan when available, else procedural.
 
-    A smooth organic blob: unit sphere displaced by a few fixed low-frequency
-    bumps (head/ears-ish), ~5-10k triangles — enough to exercise the BVH and
-    smooth-shading paths the way the scan would.
+    Tries ``ASSET_DIR/bunny.obj`` first (the reference's scan,
+    renderer/assets/bunny.obj — an LFS stub in this checkout).  The
+    procedural fallback is a smooth organic blob: unit sphere displaced by
+    a few fixed low-frequency bumps (head/ears-ish), ~5-10k triangles.
     """
+    real = try_load_asset("bunny.obj", fit_height=1.15 * scale)
+    if real is not None:
+        return real
     m = uv_sphere(1.0, subdiv, subdiv * 2)
     p = m.positions.copy()
     n = m.normals
@@ -270,11 +310,19 @@ def bunny(scale: float = 1.0, subdiv: int = 48) -> Mesh:
 
 
 def dragon(scale: float = 1.0, n_u: int = 256, n_v: int = 24) -> Mesh:
-    """Procedural 'dragon' hero mesh (the real dragon.obj is an LFS stub).
+    """'Dragon' hero mesh: the real scan when available, else procedural.
 
-    A (2,3) torus knot swept with a varying-radius tube: long, twisty,
-    self-shadowing — a good stand-in workload for the dragon scan.
+    Tries ``ASSET_DIR/dragon.min.obj`` then ``dragon.obj`` (the reference's
+    ~870k-tri scan, renderer/assets/ — LFS stubs in this checkout).  The
+    procedural fallback is a (2,3) torus knot swept with a varying-radius
+    tube: long, twisty, self-shadowing; resolution (n_u, n_v) controls the
+    triangle count (2*n_u*n_v — e.g. (1024, 56) ~ 114k tris for
+    reference-scale traversal workloads).
     """
+    for name in ("dragon.min.obj", "dragon.obj"):
+        real = try_load_asset(name, fit_height=0.9 * scale)
+        if real is not None:
+            return real
     u = np.linspace(0.0, 2.0 * np.pi, n_u, endpoint=False)
     # (2,3) torus knot centreline
     cx = np.cos(2 * u) * (2.0 + np.cos(3 * u))

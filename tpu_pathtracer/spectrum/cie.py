@@ -7,10 +7,11 @@ compact anchor tables, because (a) the framework must be self-contained and
 (b) only self-consistency matters for the render/test pipeline (the sensor,
 the RGB->spectrum fitter and the round-trip tests all use THESE curves).
 
-Sources of the analytic models (all public):
-  * CIE 1931 color matching functions: multi-lobe piecewise-Gaussian fit of
-    Wyman, Sloan & Shirley, "Simple Analytic Approximations to the CIE XYZ
-    Color Matching Functions", JCGT 2(2), 2013.  (<1% absolute error.)
+Sources of the models/data (all public):
+  * CIE 1931 color matching functions: the standard 1nm tables
+    (``cie_cmf_data``, CIE 1931 / ISO 11664-1 — the same data the reference
+    embeds at presets.rs:466+), with the Wyman-Sloan-Shirley analytic fit
+    (JCGT 2(2), 2013) retained as an independent test cross-check.
   * Illuminant A: the CIE analytic Planck formula at 2856 K.
   * D-series illuminants: the CIE daylight model S0/S1/S2 at 10nm
     (standard table), with the CCT->chromaticity polynomial — same model the
@@ -45,8 +46,28 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
-# CIE 1931 color matching functions (Wyman-Sloan-Shirley analytic fit)
+# CIE 1931 color matching functions — standard 1nm tables (cie_cmf_data),
+# with the Wyman-Sloan-Shirley analytic fit kept as a test cross-check.
 # ---------------------------------------------------------------------------
+
+from .cie_cmf_data import CIE_X_1NM, CIE_Y_1NM, CIE_Z_1NM  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def cie_x() -> np.ndarray:
+    """Standard CIE 1931 xbar on the dense grid (ref: presets.rs:466-471)."""
+    return np.interp(DENSE_LAMBDA, 360.0 + np.arange(471.0), CIE_X_1NM)
+
+
+@lru_cache(maxsize=None)
+def cie_y() -> np.ndarray:
+    return np.interp(DENSE_LAMBDA, 360.0 + np.arange(471.0), CIE_Y_1NM)
+
+
+@lru_cache(maxsize=None)
+def cie_z() -> np.ndarray:
+    return np.interp(DENSE_LAMBDA, 360.0 + np.arange(471.0), CIE_Z_1NM)
+
 
 def _pw_gauss(lam, alpha, mu, s1, s2):
     """Piecewise Gaussian with split std-dev (Wyman et al. eq. 2)."""
@@ -54,23 +75,22 @@ def _pw_gauss(lam, alpha, mu, s1, s2):
     return alpha * np.exp(-0.5 * t * t)
 
 
-@lru_cache(maxsize=None)
-def cie_x() -> np.ndarray:
+def cie_x_analytic() -> np.ndarray:
+    """Wyman-Sloan-Shirley multi-Gaussian xbar fit (<1% error) — kept as an
+    independent cross-check of the standard table (tests/test_spectrum.py)."""
     lam = DENSE_LAMBDA
     return (_pw_gauss(lam, 0.362, 442.0, 0.0624, 0.0374)
             + _pw_gauss(lam, 1.056, 599.8, 0.0264, 0.0323)
             + _pw_gauss(lam, -0.065, 501.1, 0.0490, 0.0382))
 
 
-@lru_cache(maxsize=None)
-def cie_y() -> np.ndarray:
+def cie_y_analytic() -> np.ndarray:
     lam = DENSE_LAMBDA
     return (_pw_gauss(lam, 0.821, 568.8, 0.0213, 0.0247)
             + _pw_gauss(lam, 0.286, 530.9, 0.0613, 0.0322))
 
 
-@lru_cache(maxsize=None)
-def cie_z() -> np.ndarray:
+def cie_z_analytic() -> np.ndarray:
     lam = DENSE_LAMBDA
     return (_pw_gauss(lam, 1.217, 437.0, 0.0845, 0.0278)
             + _pw_gauss(lam, 0.681, 459.0, 0.0385, 0.0725))

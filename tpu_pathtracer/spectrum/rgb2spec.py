@@ -208,11 +208,16 @@ def get_table(gamut_name: str, res: int = DEFAULT_RES):
     from ..color.gamut import by_name
     gamut = by_name(gamut_name)
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"{gamut_name}_{res}.npz")
+    # v2: refit against the standard CIE 1931 1nm CMF tables (cie_cmf_data)
+    path = os.path.join(_CACHE_DIR, f"{gamut_name}_{res}_v2.npz")
     if os.path.exists(path):
         data = np.load(path)
         return data["z_nodes"], data["coeffs"]
-    zn, coeffs = fit_table(gamut, res)
+    # fit on the host CPU backend: through a tunneled TPU the fit's many
+    # small host<->device transfers are ~60x slower than plain CPU
+    import jax
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        zn, coeffs = fit_table(gamut, res)
     np.savez_compressed(path, z_nodes=zn, coeffs=coeffs)
     return zn, coeffs
 
