@@ -175,3 +175,44 @@ def test_sigmoid_poly_max_value():
     lam = jnp.asarray(grid.DENSE_LAMBDA, jnp.float32)
     dense = np.asarray(rgb2spec.sigmoid_poly(c, jnp.broadcast_to(lam, (2, grid.N_DENSE))))
     assert (mv >= dense.max(-1) - 1e-4).all()
+
+
+def test_onehot_eval_paths_match_gather():
+    """The TPU one-hot formulations of eval_dense/eval_bank must agree
+    exactly with the CPU gather path (the render uses one per backend)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pathtracer.spectrum import grid
+
+    rng = np.random.default_rng(7)
+    banks = jnp.asarray(rng.standard_normal((9, grid.N_DENSE)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(300, 900, size=(257, 4)), jnp.float32)
+    row = jnp.asarray(rng.integers(0, 9, size=257), jnp.int32)
+
+    orig = grid._use_onehot
+    try:
+        grid._use_onehot = lambda: False
+        d1 = grid.eval_dense(banks[0], lam)
+        d2k = grid.eval_dense(banks.T, lam)
+        b1 = grid.eval_bank(banks, row, lam)
+        grid._use_onehot = lambda: True
+        assert np.array_equal(np.asarray(grid.eval_dense(banks[0], lam)),
+                              np.asarray(d1))
+        assert np.array_equal(np.asarray(grid.eval_dense(banks.T, lam)),
+                              np.asarray(d2k))
+        assert np.array_equal(np.asarray(grid.eval_bank(banks, row, lam)),
+                              np.asarray(b1))
+    finally:
+        grid._use_onehot = orig
+
+
+def test_select_lane_matches_take_along_axis():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pathtracer.utils.math import select_lane
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((100, 7)), jnp.float32)
+    i = jnp.asarray(rng.integers(0, 7, size=100), jnp.int32)
+    want = jnp.take_along_axis(v, i[:, None], axis=-1)[:, 0]
+    assert np.array_equal(np.asarray(select_lane(v, i)), np.asarray(want))

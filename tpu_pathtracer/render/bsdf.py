@@ -155,8 +155,8 @@ def _metal_eta_k(scene, it, wl):
     m = scene.materials
     eta_row = jnp.maximum(m.eta_row[it.mat_id], 0)
     k_row = jnp.maximum(m.k_row[it.mat_id], 0)
-    eta = sgrid.eval_dense(scene.spectra[eta_row], wl.lam)
-    k = sgrid.eval_dense(scene.spectra[k_row], wl.lam)
+    eta = sgrid.eval_bank(scene.spectra, eta_row, wl.lam)
+    k = sgrid.eval_bank(scene.spectra, k_row, wl.lam)
     return eta, k
 
 
@@ -229,7 +229,7 @@ def _dielectric_eta(scene, it, wl, dispersive: bool):
     m = scene.materials
     if dispersive:
         row = jnp.maximum(m.eta_row[it.mat_id], 0)
-        return sgrid.eval_dense(scene.spectra[row], wl.lam)
+        return sgrid.eval_bank(scene.spectra, row, wl.lam)
     return jnp.broadcast_to(m.const_eta[it.mat_id][:, None], wl.lam.shape)
 
 
@@ -832,8 +832,9 @@ def emission_spectral(scene: SceneData, meta: SceneMeta, mat_id, uv,
     m = scene.materials
     row = m.emission_row[mat_id]
     scale = m.emission_scale[mat_id]
-    spd = scene.spectra[jnp.maximum(row, 0)]              # (R, 470)
-    le = jnp.where((row >= 0)[:, None], sgrid.eval_dense(spd, wl.lam), 0.0)
+    le = jnp.where((row >= 0)[:, None],
+                   sgrid.eval_bank(scene.spectra, jnp.maximum(row, 0),
+                                   wl.lam), 0.0)
     if meta.has_emission_tex and len(scene.textures):
         tex_ids = m.emission_tex[mat_id]
         rgb = tex_mod.sample_indexed(scene.textures, tex_ids, uv, 3,

@@ -61,6 +61,30 @@ def _cell_probs(cdf):
     return jnp.diff(cdf, prepend=0.0)
 
 
+def _searchsorted_right(cdf, u):
+    """Count of cdf entries <= u along cdf's last axis, batched per ray.
+
+    cdf: (K,) or (R, K); u: (R,).  Compare-count instead of
+    jnp.searchsorted: the binary search gathers per element per step,
+    which TPU executes as a scalar loop; one fused (R, K) compare-reduce
+    is effectively free at CDF sizes (K <= ~2048).
+    """
+    if cdf.ndim == 1:
+        le = cdf[None, :] <= u[:, None]
+    else:
+        le = cdf <= u[:, None]
+    return jnp.sum(le.astype(jnp.int32), axis=-1)
+
+
+def _pick(values, idx):
+    """values (K,) or (R, K) selected per ray at idx (R,) — gather-free."""
+    k = values.shape[-1]
+    oh = idx[:, None] == jnp.arange(k, dtype=jnp.int32)
+    if values.ndim == 1:
+        return jnp.sum(jnp.where(oh, values[None, :], 0), axis=-1)
+    return jnp.sum(jnp.where(oh, values, 0), axis=-1)
+
+
 def sample_env_direction(scene: SceneData, wl, u_uv):
     """Importance-sample the env map (environment_light.rs:218-259).
 
@@ -68,23 +92,23 @@ def sample_env_direction(scene: SceneData, wl, u_uv):
     """
     env = scene.env
     h, w = env.rgb.shape[0], env.rgb.shape[1]
-    row = jnp.clip(jnp.searchsorted(env.marginal_cdf, u_uv[:, 0], side="right"),
+    row = jnp.clip(_searchsorted_right(env.marginal_cdf, u_uv[:, 0]),
                    0, h - 1)
-    cond_rows = env.conditional_cdf[row]                  # (R, W)
-    col = jnp.clip(jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-        cond_rows, u_uv[:, 1]), 0, w - 1)
+    cond_rows = env.conditional_cdf[row]                  # (R, W) row gather
+    col = jnp.clip(_searchsorted_right(cond_rows, u_uv[:, 1]), 0, w - 1)
 
     # cell probabilities
-    p_row = _cell_probs(env.marginal_cdf)[row]
-    p_col = jax.vmap(lambda a, c: _cell_probs(a)[c])(cond_rows, col)
+    p_row = _pick(_cell_probs(env.marginal_cdf), row)
+    p_col = _pick(_cell_probs(cond_rows), col)
 
     # jitter within the selected texel: the CDF remainder of the search value
     # is uniform in [0,1) conditioned on the cell, so it is free stratified
     # jitter (the pdf is the piecewise-constant density over the whole cell)
-    cdf_row_lo = jnp.where(row > 0, env.marginal_cdf[jnp.maximum(row - 1, 0)], 0.0)
+    cdf_row_lo = jnp.where(row > 0,
+                           _pick(env.marginal_cdf, jnp.maximum(row - 1, 0)), 0.0)
     jv = jnp.clip((u_uv[:, 0] - cdf_row_lo) / jnp.maximum(p_row, 1e-20), 0.0, 1.0)
-    cdf_col_lo = jax.vmap(
-        lambda a, c: jnp.where(c > 0, a[jnp.maximum(c - 1, 0)], 0.0))(cond_rows, col)
+    cdf_col_lo = jnp.where(col > 0,
+                           _pick(cond_rows, jnp.maximum(col - 1, 0)), 0.0)
     ju = jnp.clip((u_uv[:, 1] - cdf_col_lo) / jnp.maximum(p_col, 1e-20), 0.0, 1.0)
 
     u = (col.astype(jnp.float32) + ju) / w
@@ -107,7 +131,7 @@ def env_pdf_direction(scene: SceneData, d):
     uv = dir_to_uv(d, env.rotation)
     col = jnp.clip((uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
-    p_row = _cell_probs(env.marginal_cdf)[row]
-    p_col = jax.vmap(lambda a, c: _cell_probs(a)[c])(env.conditional_cdf[row], col)
+    p_row = _pick(_cell_probs(env.marginal_cdf), row)
+    p_col = _pick(_cell_probs(env.conditional_cdf[row]), col)
     sin_t = jnp.maximum(jnp.sin(uv[:, 1] * math.pi), 1e-6)
     return p_row * p_col * (w * h) / (2.0 * math.pi * math.pi * sin_t)

@@ -53,9 +53,10 @@ def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
             lambda n: None, n_bad)
         contribution = jnp.where(bad, 0.0, contribution)
     cmf = jnp.asarray(_cmf_stack())  # (470, 3)
-    idx = jnp.clip(jnp.floor(wl.lam - grid.LAMBDA_MIN).astype(jnp.int32), 0,
-                   grid.N_DENSE - 1)
-    cmf_vals = cmf[idx]                                  # (R, 4, 3)
+    # one-hot contraction, not cmf[idx]: a (R, 4)-indexed gather is a TPU
+    # scalar loop; sampled lam always lies in [360, 830) so eval_dense's
+    # out-of-range zeroing matches the old clip behavior
+    cmf_vals = grid.eval_dense(cmf, wl.lam)              # (R, 4, 3)
     inv_pdf = jnp.where(wl.pdf > 0.0, 1.0 / jnp.where(wl.pdf > 0.0, wl.pdf, 1.0), 0.0)
     w = contribution * inv_pdf / 4.0                     # (R, 4)
     xyz = jnp.einsum("rl,rlc->rc", w, cmf_vals)

@@ -25,7 +25,7 @@ from ..scene.types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV,
                            LIGHT_POINT, LIGHT_SPOT, SceneData, SceneMeta)
 from ..spectrum import grid as sgrid
 from ..spectrum import rgb2spec
-from ..utils.math import dot, normalize, to_frame
+from ..utils.math import dot, normalize, select_lane, to_frame
 from . import bsdf as bsdf_mod
 
 RAY_EPS_NEE = 1.0e-4   # ref: renderer/src/renderer/common.rs:12
@@ -41,10 +41,8 @@ def _phi_lambda(scene: SceneData, wl):
     """(R, L): mean-over-lanes spectral power per light."""
     rows = scene.lights.spectrum_row                      # (L,)
     spd = scene.spectra[rows]                             # (L, 470)
-    idx = jnp.clip(jnp.floor(wl.lam - sgrid.LAMBDA_MIN).astype(jnp.int32),
-                   0, sgrid.N_DENSE - 1)                  # (R, 4)
-    vals = spd[:, idx]                                    # (L, R, 4)
-    phi = vals.mean(-1).T * scene.lights.phi_scale[None, :]  # (R, L)
+    vals = sgrid.eval_dense(spd.T, wl.lam)                # (R, 4, L)
+    phi = vals.mean(1) * scene.lights.phi_scale[None, :]  # (R, L)
     return phi
 
 
@@ -64,7 +62,7 @@ def pick_light(scene: SceneData, meta: SceneMeta, wl, u):
     cdf = jnp.cumsum(w, -1) / jnp.maximum(total, 1e-20)[:, None]
     row = jnp.sum((u[:, None] >= cdf[:, :-1]).astype(jnp.int32), -1) \
         if n_lights > 1 else jnp.zeros(r, jnp.int32)
-    prob = jnp.take_along_axis(w, row[:, None], -1)[:, 0] / jnp.maximum(total, 1e-20)
+    prob = select_lane(w, row) / jnp.maximum(total, 1e-20)
     return row, prob, total > 0.0
 
 
@@ -73,7 +71,7 @@ def light_probability(scene: SceneData, meta: SceneMeta, wl, light_row):
     light_sampler.rs:47-62)."""
     w = _phi_lambda(scene, wl)
     total = w.sum(-1)
-    pw = jnp.take_along_axis(w, jnp.maximum(light_row, 0)[:, None], -1)[:, 0]
+    pw = select_lane(w, jnp.maximum(light_row, 0))
     return jnp.where(light_row >= 0, pw / jnp.maximum(total, 1e-20), 0.0)
 
 
@@ -140,8 +138,9 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
 
     light_row, prob, any_l = pick_light(scene, meta, wl, u_light)
     lt = scene.lights.light_type[light_row]
-    l_spd = scene.spectra[scene.lights.spectrum_row[light_row]]   # (R, 470)
-    l_spec = sgrid.eval_dense(l_spd, wl.lam)                      # (R, 4)
+    l_spec = sgrid.eval_bank(scene.spectra,
+                             scene.lights.spectrum_row[light_row],
+                             wl.lam)                              # (R, 4)
     l_int = scene.lights.intensity[light_row]
 
     types = set(meta.light_types)

@@ -105,6 +105,13 @@ _PERMUTATIONS = np.array([
     [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
     [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2]], np.int32)
 
+# each permutation packed as an 8-bit code (digit d at bits 2d..2d+1) so the
+# per-ray lookup is a one-hot select over 24 codes + a shift — a 2-D
+# ``perms[p, digit]`` element gather costs ~1 ms per call on TPU and this
+# runs ~65x per bounce
+_PERM_CODES = np.sum(_PERMUTATIONS.astype(np.uint32)
+                     << (2 * np.arange(4, dtype=np.uint32))[None, :], axis=1)
+
 _ONE_MINUS_EPS = np.float32(np.nextafter(1.0, 0.0))
 
 
@@ -182,7 +189,8 @@ class ZSobolSampler:
     def _sample_index(self, morton_index, dim):
         """Permuted base-4 digit scramble (z_sobol_sampler.rs:101-156)."""
         dim = dim.astype(jnp.uint32)
-        perms = jnp.asarray(_PERMUTATIONS)
+        codes = jnp.asarray(_PERM_CODES)                  # (24,) u32
+        lanes = jnp.arange(24, dtype=jnp.uint32)
         pow2 = (self.log2_spp & 1) == 1
         last_digit = 1 if pow2 else 0
         sample_index = jnp.zeros_like(morton_index, dtype=jnp.uint32)
@@ -191,8 +199,12 @@ class ZSobolSampler:
             digit = (morton_index >> digit_shift) & jnp.uint32(3)
             higher = morton_index >> (digit_shift + jnp.uint32(2))
             p = (_fmix32(higher ^ (jnp.uint32(0x55555555) * dim)) >> jnp.uint32(24)) % jnp.uint32(24)
-            permuted = perms[p, digit]
-            sample_index = sample_index | (permuted.astype(jnp.uint32) << digit_shift)
+            # gather-free permutation: one-hot select the packed code, then
+            # extract the 2-bit digit slot
+            code = jnp.sum(jnp.where(p[:, None] == lanes[None, :],
+                                     codes[None, :], jnp.uint32(0)), axis=-1)
+            permuted = (code >> (jnp.uint32(2) * digit)) & jnp.uint32(3)
+            sample_index = sample_index | (permuted << digit_shift)
         if pow2:
             digit = morton_index & jnp.uint32(1)
             flip = _fmix32((morton_index >> jnp.uint32(1))

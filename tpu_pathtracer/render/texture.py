@@ -29,10 +29,13 @@ def sample_bilinear(tex, uv):
     x1i = jnp.mod(x0i + 1, w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0i + 1, h)
-    c00 = tex[y0i, x0i]
-    c10 = tex[y0i, x1i]
-    c01 = tex[y1i, x0i]
-    c11 = tex[y1i, x1i]
+    # flat 1-D row indices: multi-dim-indexed gathers fall off the TPU fast
+    # path; a single-index row gather of the (H*W, C) view stays on it
+    texf = tex.reshape(h * w, tex.shape[2])
+    c00 = texf[y0i * w + x0i]
+    c10 = texf[y0i * w + x1i]
+    c01 = texf[y1i * w + x0i]
+    c11 = texf[y1i * w + x1i]
     top = c00 + (c10 - c00) * fx[:, None]
     bot = c01 + (c11 - c01) * fx[:, None]
     return top + (bot - top) * fy[:, None]

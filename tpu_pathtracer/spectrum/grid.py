@@ -12,6 +12,7 @@ wavelengths is then a single gather per spectrum.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,22 +25,79 @@ N_DENSE = int(LAMBDA_MAX - LAMBDA_MIN)  # 470 (ref: densely_sampled_spectrum.rs:
 DENSE_LAMBDA = np.arange(N_DENSE, dtype=np.float64) + LAMBDA_MIN
 
 
+def _lam_index(lam):
+    idx = jnp.floor(lam - LAMBDA_MIN).astype(jnp.int32)
+    in_range = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
+    return jnp.clip(idx, 0, N_DENSE - 1), in_range
+
+
+def _use_onehot() -> bool:
+    # TPU executes per-element (2-D-indexed) gathers scalar-by-scalar
+    # (~10 ms for 64k rays x 4 lanes, measured); a one-hot contraction is
+    # fused onto the VPU/MXU and is effectively free.  CPU keeps the
+    # gather (the contraction would be 500 MFLOP per eval there).
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def eval_dense(values, lam):
     """Evaluate a dense spectrum at wavelengths ``lam``.
 
-    values: (..., 470) or (470,) array.
-    lam: (...,) wavelengths in nm.
-    Returns values with floor-index lookup; 0 outside [360, 830]
-    (ref: densely_sampled_spectrum.rs:57-67).
+    values: (470,) single spectrum or (470, K) stacked spectra.
+    lam: (..., L) wavelengths in nm.
+    Returns (..., L) or (..., L, K) with floor-index lookup; 0 outside
+    [360, 830] (ref: densely_sampled_spectrum.rs:57-67).
     """
-    idx = jnp.floor(lam - LAMBDA_MIN).astype(jnp.int32)
-    in_range = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
-    idx = jnp.clip(idx, 0, N_DENSE - 1)
+    idx, in_range = _lam_index(lam)
     if values.ndim == 1:
-        v = jnp.take(values, idx, axis=-1)
+        if _use_onehot() and idx.ndim >= 1:
+            # exact one-hot where-reduce: compiles in seconds (a HIGHEST-
+            # precision dot triggers a ~500 s XLA pass, measured) and is
+            # bit-exact unlike a default-precision (bf16) contraction
+            flat = idx.reshape(-1)
+            oh = flat[:, None] == jnp.arange(N_DENSE, dtype=jnp.int32)[None, :]
+            v = jnp.sum(jnp.where(oh, values[None, :], 0.0), axis=-1)
+            v = v.reshape(idx.shape)
+        else:
+            v = jnp.take(values, idx, axis=-1)
+        return jnp.where(in_range, v, 0.0)
+    # values (470, K): evaluate every column at every wavelength
+    assert values.ndim == 2
+    flat = idx.reshape(-1)
+    if _use_onehot():
+        oh = flat[:, None] == jnp.arange(N_DENSE, dtype=jnp.int32)[None, :]
+        v = jnp.sum(jnp.where(oh[:, :, None], values[None, :, :], 0.0), axis=1)
     else:
-        # values (..., 470) with idx (..., L): gather along the last axis
-        v = jnp.take_along_axis(values, idx, axis=-1)
+        v = values[flat]
+    v = v.reshape(idx.shape + (values.shape[1],))
+    return jnp.where(in_range[..., None], v, 0.0)
+
+
+def eval_bank(banks, row, lam):
+    """Per-ray spectrum bank evaluation: out[r, l] = banks[row[r], idx[r, l]].
+
+    banks: (B, 470) dense spectra; row: (R,) i32; lam: (R, L) nm.
+    TPU-native replacement for ``banks[row]`` + ``take_along_axis`` —
+    both lower to per-element gathers; here the wavelength lookup is a
+    one-hot contraction against ALL banks followed by a one-hot bank
+    select (all fused, no gather).  Same floor/out-of-range semantics as
+    ``eval_dense``.
+    """
+    idx, in_range = _lam_index(lam)
+    if not _use_onehot():
+        v = jnp.take_along_axis(banks[row], idx, axis=-1)
+        return jnp.where(in_range, v, 0.0)
+    # one-hot bank select (exact), then per-lane one-hot wavelength reduce
+    b = banks.shape[0]
+    sel = row[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]   # (R, B)
+    rows = jnp.sum(jnp.where(sel[:, :, None], banks[None, :, :], 0.0),
+                   axis=1)                               # (R, 470)
+    i470 = jnp.arange(N_DENSE, dtype=jnp.int32)
+    outs = []
+    for l in range(lam.shape[-1]):
+        oh = idx[:, l][:, None] == i470[None, :]
+        outs.append(jnp.sum(jnp.where(oh, rows, 0.0), axis=-1))
+    v = jnp.stack(outs, axis=-1)                         # (R, L)
     return jnp.where(in_range, v, 0.0)
 
 

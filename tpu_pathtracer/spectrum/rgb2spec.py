@@ -32,6 +32,7 @@ import numpy as np
 from ..color.gamut import Gamut
 from . import cie
 from .grid import LAMBDA_MAX, LAMBDA_MIN, N_DENSE
+from ..utils.math import select_lane
 
 DEFAULT_RES = 64  # ref TABLE_SIZE (rgb_sigmoid_polynomial.rs:16)
 
@@ -244,23 +245,33 @@ def lookup_coeffs(rgb, zn, coeffs):
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
     maxc = jnp.argmax(rgb, axis=-1)
-    z = jnp.take_along_axis(rgb, maxc[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(rgb, ((maxc + 1) % 3)[..., None], axis=-1)[..., 0]
-    c2 = jnp.take_along_axis(rgb, ((maxc + 2) % 3)[..., None], axis=-1)[..., 0]
+    z = jnp.max(rgb, axis=-1)
+    c1 = select_lane(rgb, ((maxc + 1) % 3).astype(jnp.int32))
+    c2 = select_lane(rgb, ((maxc + 2) % 3).astype(jnp.int32))
     zsafe = jnp.maximum(z, 1e-8)
     x = c1 * (res - 1.0) / zsafe
     y = c2 * (res - 1.0) / zsafe
 
     xi = jnp.clip(x.astype(jnp.int32), 0, res - 2)
     yi = jnp.clip(y.astype(jnp.int32), 0, res - 2)
-    # first zi with zn[zi+1] > z (ref: :127-130)
-    zi = jnp.clip(jnp.searchsorted(zn, z, side="right") - 1, 0, res - 2)
+    # first zi with zn[zi+1] > z (ref: :127-130); compare-count instead of
+    # searchsorted, and one-hot selects for the z-node values — both avoid
+    # per-element gathers (TPU scalar loop)
+    zi = jnp.clip(jnp.sum((zn <= z[..., None]).astype(jnp.int32), -1) - 1,
+                  0, res - 2)
     dx = x - xi
     dy = y - yi
-    dz = (z - zn[zi]) / jnp.maximum(zn[zi + 1] - zn[zi], 1e-12)
+    zn_lo = select_lane(jnp.broadcast_to(zn, zi.shape + (res,)), zi)
+    zn_hi = select_lane(jnp.broadcast_to(zn, zi.shape + (res,)), zi + 1)
+    dz = (z - zn_lo) / jnp.maximum(zn_hi - zn_lo, 1e-12)
+
+    # corner fetches as flat ROW gathers (slice_sizes {1, 3}) — fast path on
+    # TPU, unlike the 4-D-indexed per-element form
+    cflat = coeffs.reshape(-1, coeffs.shape[-1])
 
     def gather(ddx, ddy, ddz):
-        return coeffs[maxc, zi + ddz, yi + ddy, xi + ddx]  # (..., 3)
+        flat = ((maxc * res + (zi + ddz)) * res + (yi + ddy)) * res + (xi + ddx)
+        return cflat[flat]                                # (..., 3)
 
     def lerp(a, b, t):
         return a + (b - a) * t[..., None]

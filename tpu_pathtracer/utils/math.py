@@ -18,6 +18,25 @@ import jax.numpy as jnp
 # Basic vector ops
 # ---------------------------------------------------------------------------
 
+def select_lane(values, idx):
+    """values (..., K) indexed per element by idx (...) -> (...).
+
+    One-hot multiply-reduce instead of ``take_along_axis``: TPU XLA lowers
+    per-element (multi-dim-indexed) gathers to a scalar loop (~10 ms for
+    256k elements, measured), while this compare+select+reduce is fused
+    onto the VPU for free.  K must be small (it is O(K) work per element).
+    """
+    k = values.shape[-1]
+    oh = idx[..., None] == jnp.arange(k, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, values, 0), axis=-1)
+
+
+def select_axis(v, k):
+    """v (..., 3) -> (...): component k (0/1/2) of each vector, gather-free."""
+    return jnp.where(k == 0, v[..., 0], jnp.where(k == 1, v[..., 1],
+                                                  v[..., 2]))
+
+
 def dot(a, b, keepdims: bool = False):
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
@@ -186,9 +205,9 @@ def intersect_triangle(ray_o, ray_d, p0, p1, p2, t_max):
     ky = (kz + 2) % 3
 
     def permute(v):
-        vx = jnp.take_along_axis(v, kx[..., None], axis=-1)
-        vy = jnp.take_along_axis(v, ky[..., None], axis=-1)
-        vz = jnp.take_along_axis(v, kz[..., None], axis=-1)
+        vx = select_axis(v, kx)[..., None]
+        vy = select_axis(v, ky)[..., None]
+        vz = select_axis(v, kz)[..., None]
         return jnp.concatenate([vx, vy, vz], axis=-1)
 
     d = permute(ray_d)
@@ -263,7 +282,7 @@ def intersect_triangle_block(ray_o, ray_d, tri9, t_max):
     ky = (kz + 2) % 3
 
     def ray_comp(v, k):
-        return jnp.take_along_axis(v, k, axis=-1)         # (R, 1)
+        return select_axis(v, k[..., 0])[..., None]       # (R, 1)
 
     dx = ray_comp(ray_d, kx)
     dy = ray_comp(ray_d, ky)
