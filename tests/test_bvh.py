@@ -119,8 +119,9 @@ def test_brute_method_matches_bvh():
 
 
 def test_pallas_kernel_matches_bvh_interpret():
-    """The Pallas traversal kernel (interpret mode on CPU) == BVH, including
-    ray-count padding, active masks and t_max."""
+    """The Pallas traversal kernel (interpret mode on CPU, precise edge
+    functions) == BVH exactly, including ray-count padding, active masks,
+    t_max, and both sort orders."""
     from tpu_pathtracer.ops import pallas_trace
     m = mesh.dragon(n_u=48, n_v=10)
     arrs = _bvh_arrays(m)
@@ -129,10 +130,46 @@ def test_pallas_kernel_matches_bvh_interpret():
     act = jnp.asarray(np.random.default_rng(4).uniform(size=n) < 0.7)
     hb = jax.jit(lambda o, d: trace.intersect(arrs, o, d, active=act,
                                               method="bvh"))(o, d)
-    hp = pallas_trace.traverse(arrs, o, d, jnp.asarray(3e38), active=act,
-                               interpret=True)
-    assert (np.asarray(hb.hit) == np.asarray(hp.hit)).all()
-    both = np.asarray(hb.hit)
-    assert np.abs(np.asarray(hb.t) - np.asarray(hp.t))[both].max() == 0.0
-    assert np.abs(np.asarray(hb.b1) - np.asarray(hp.b1))[both].max() == 0.0
-    assert not np.asarray(hp.hit)[~np.asarray(act)].any()
+    for sort in (False, True):
+        hp = pallas_trace.traverse(arrs, o, d, jnp.asarray(3e38), active=act,
+                                   interpret=True, precise=True, sort=sort)
+        assert (np.asarray(hb.hit) == np.asarray(hp.hit)).all()
+        both = np.asarray(hb.hit)
+        assert np.abs(np.asarray(hb.t) - np.asarray(hp.t))[both].max() == 0.0
+        assert np.abs(np.asarray(hb.b1) - np.asarray(hp.b1))[both].max() == 0.0
+        assert not np.asarray(hp.hit)[~np.asarray(act)].any()
+
+
+def test_pallas_kernel_fast_mode_statistics():
+    """Fast (uncompensated) edge functions: hits may flip only within a
+    sliver around triangle edges.  Gate: >= 99.9% identical hit/miss on
+    random rays, and matching hits agree on t to 1e-4 relative."""
+    from tpu_pathtracer.ops import pallas_trace
+    m = mesh.dragon(n_u=48, n_v=10)
+    arrs = _bvh_arrays(m)
+    n = 2048
+    o, d = _random_rays(n, np.random.default_rng(5))
+    hb = jax.jit(lambda o, d: trace.intersect(arrs, o, d,
+                                              method="bvh"))(o, d)
+    hp = pallas_trace.traverse(arrs, o, d, jnp.asarray(3e38),
+                               interpret=True, precise=False)
+    same = np.asarray(hb.hit) == np.asarray(hp.hit)
+    assert same.mean() >= 0.999
+    both = np.asarray(hb.hit) & np.asarray(hp.hit) & same
+    tb, tp = np.asarray(hb.t)[both], np.asarray(hp.t)[both]
+    assert np.abs(tb - tp).max() <= 1e-4 * np.abs(tb).max()
+
+
+def test_pallas_anyhit_matches_bvh_interpret():
+    from tpu_pathtracer.ops import pallas_trace
+    m = mesh.dragon(n_u=48, n_v=10)
+    arrs = _bvh_arrays(m)
+    n = 300
+    o, d = _random_rays(n, np.random.default_rng(6))
+    act = jnp.asarray(np.random.default_rng(7).uniform(size=n) < 0.7)
+    tmax = jnp.full((n,), 2.5, jnp.float32)
+    ob = jax.jit(lambda o, d: trace.intersect_p(arrs, o, d, tmax, active=act,
+                                                method="bvh"))(o, d)
+    op = pallas_trace.traverse(arrs, o, d, tmax, active=act, any_hit=True,
+                               interpret=True, precise=True)
+    assert (np.asarray(ob) == np.asarray(op)).all()

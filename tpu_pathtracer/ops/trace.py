@@ -328,6 +328,14 @@ def _dispatch(method: str, bvh, ray_o, ray_d, t_max, active, any_hit: bool):
         return _traverse_blocks(bvh, ray_o, ray_d, t_max, active=active)
     if method == "pallas":
         from . import pallas_trace
+        if any_hit:
+            occ = pallas_trace.traverse(bvh, ray_o, ray_d, t_max,
+                                        active=active, any_hit=True)
+            r = ray_o.shape[0]
+            zero = jnp.zeros((r,), ray_o.dtype)
+            return Hit(t=jnp.where(occ, zero, BIG_T),
+                       tri=jnp.where(occ, 0, -1).astype(jnp.int32),
+                       b1=zero, b2=zero, hit=occ)
         return pallas_trace.traverse(bvh, ray_o, ray_d, t_max, active=active)
     raise ValueError(f"unknown traversal method {method!r}")
 
