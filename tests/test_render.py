@@ -152,3 +152,39 @@ def test_tiled_render_matches_untiled_random():
         tiled = np.asarray(render(scene, meta, cam,
                                   dataclasses.replace(cfg, tile_rays=64)))
         np.testing.assert_array_equal(full, tiled, err_msg=sampler)
+
+
+def test_wavefront_matches_trace_sample_film():
+    """The regenerative wavefront must reproduce the lockstep trace_sample
+    film: same per-(pixel, sample) streams, same accumulation order."""
+    from tpu_pathtracer.render import integrator as integ
+
+    scene, meta, cam = load_scene(0, 32, 24, table_res=16)
+    for strategy in ("pt", "nee", "mis"):
+        cfg = RenderConfig(width=32, height=24, spp=4, max_depth=5,
+                           strategy=strategy, sampler="sobol", seed=0)
+        # lockstep reference path (bypasses the wavefront dispatch)
+        px = integ._pixel_grid(32, 24)
+        md = jnp.asarray(cfg.max_depth, jnp.int32)
+        acc_ref = jnp.zeros((32 * 24, 3))
+        acc_ref = integ._accum_chunk(scene, meta, cam, cfg, cfg.spp, px,
+                                     jnp.asarray(0, jnp.int32), acc_ref, md)
+        acc_wf = integ.render_wavefront(scene, meta, cam, cfg)
+        np.testing.assert_allclose(np.asarray(acc_wf), np.asarray(acc_ref),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"strategy={strategy}")
+
+
+def test_wavefront_chunk_invariance():
+    """Film is identical regardless of spp chunking (progressive resume)."""
+    from tpu_pathtracer.render import integrator as integ
+
+    scene, meta, cam = load_scene(0, 16, 12, table_res=16)
+    cfg = RenderConfig(width=16, height=12, spp=6, max_depth=4,
+                       strategy="mis", sampler="sobol", seed=3)
+    full = integ.render_wavefront(scene, meta, cam, cfg)
+    part = integ.render_wavefront(scene, meta, cam, cfg, spp_start=0,
+                                  spp_end=2)
+    part = integ.render_wavefront(scene, meta, cam, cfg, spp_start=2,
+                                  spp_end=6, accum_init=part)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(part))

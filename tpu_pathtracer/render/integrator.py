@@ -319,6 +319,13 @@ def render_accum(scene: SceneData, meta: SceneMeta, camera: Camera,
     any chunking produces bit-identical results.
     """
     spp_end = cfg.spp if spp_end is None else spp_end
+    if cfg.strategy in ("pt", "nee", "mis"):
+        # the regenerative wavefront produces the identical film
+        # (per-sample streams and accumulation order match trace_sample)
+        # at ~E[depth]/max_depth of the device time
+        return render_wavefront(scene, meta, camera, cfg,
+                                spp_start=spp_start, spp_end=spp_end,
+                                accum_init=accum_init)
     n_px = cfg.width * cfg.height
     pixel_xy = _pixel_grid(cfg.width, cfg.height)
     md = jnp.asarray(cfg.max_depth, jnp.int32)
@@ -346,6 +353,265 @@ def render_accum(scene: SceneData, meta: SceneMeta, camera: Camera,
                                      tiles_px[k], jnp.asarray(s, jnp.int32),
                                      accums[k], md)
     return jnp.concatenate(accums, 0)[:n_px]
+
+
+# ---------------------------------------------------------------------------
+# Regenerative wavefront ("path regeneration").
+#
+# trace_sample keeps every lane on the same (sample, depth) — after russian
+# roulette kills most paths by depth ~4, the remaining 12 depth iterations
+# run at full lane width doing mostly nothing (~3-4x waste at max_depth 16).
+# The regenerative wavefront instead gives each lane (pixel) its own
+# (sample, depth) cursor: when a path dies the lane immediately starts its
+# pixel's next sample, so lanes stay ~100% occupied until the tail.
+#
+# Per-sample math is IDENTICAL to trace_sample: every random draw is a pure
+# function of (pixel, sample, dim) with the same dim layout, contributions
+# are summed per sample in the same order, and each sample's RGB conversion
+# happens once at termination — so the accumulated film is bit-compatible
+# with the trace_sample path (gated by tests/test_render.py).
+#
+# One state flag has no trace_sample equivalent: ``last_seg`` marks a ray
+# whose HIT still contributes emissive/env radiance but whose vertex gets
+# no NEE and no continuation — this reproduces trace_sample's ordering
+# where russian roulette (and the depth bound) kill a path AFTER the
+# bounce ray's own hit was counted (base_renderer.rs:76-92 runs after the
+# emissive lookup of the traced ray).
+# ---------------------------------------------------------------------------
+
+def _wavefront_init(r: int, spp_start: int, accum):
+    return dict(
+        sample=jnp.full((r,), spp_start - 1, jnp.int32),
+        depth=jnp.zeros((r,), jnp.int32),
+        tracing=jnp.zeros((r,), bool),
+        last_seg=jnp.zeros((r,), bool),
+        is_cam=jnp.zeros((r,), bool),
+        prev_spec=jnp.zeros((r,), bool),
+        prev_pdf=jnp.zeros((r,)),
+        prev_pos=jnp.zeros((r, 3)),
+        ray_o=jnp.zeros((r, 3)),
+        ray_d=jnp.ones((r, 3)),
+        lam=jnp.full((r, 4), 550.0),
+        pdf=jnp.zeros((r, 4)),
+        throughput=jnp.zeros((r, 4)),
+        radiance=jnp.zeros((r, 4)),
+        accum=accum,
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+
+def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
+                    max_depth_dyn):
+    strategy = cfg.strategy
+    r = px.shape[0]
+
+    # ---- regenerate terminated lanes ------------------------------------
+    regen = ~s["tracing"] & (s["sample"] + 1 < spp_end)
+    sample = jnp.where(regen, s["sample"] + 1, s["sample"])
+    u_l = sampler.get_1d(px, sample, 0)
+    wl_new = swl.sample_uniform(u_l)
+    uv_film = sampler.get_2d(px, sample, 1)
+    cam_o, cam_d, weight = camera.generate_rays(px, uv_film)
+    cam_o = cam_o + cam_d * RAY_EPS
+
+    rg = regen[:, None]
+    lam = jnp.where(rg, wl_new.lam, s["lam"])
+    pdf_l = jnp.where(rg, wl_new.pdf, s["pdf"])
+    ray_o = jnp.where(rg, cam_o, s["ray_o"])
+    ray_d = jnp.where(rg, cam_d, s["ray_d"])
+    throughput = jnp.where(rg, weight[:, None] + jnp.zeros((r, 4)),
+                           s["throughput"])
+    radiance = jnp.where(rg, 0.0, s["radiance"])
+    depth = jnp.where(regen, 0, s["depth"])
+    is_cam = jnp.where(regen, True, s["is_cam"])
+    prev_spec = jnp.where(regen, True, s["prev_spec"])
+    prev_pdf = jnp.where(regen, 0.0, s["prev_pdf"])
+    prev_pos = jnp.where(rg, cam_o, s["prev_pos"])
+    last_seg = jnp.where(regen, False, s["last_seg"])
+    tracing = s["tracing"] | regen
+    wl = swl.SampledWavelengths(lam=lam, pdf=pdf_l)
+
+    # ---- trace the in-flight rays ---------------------------------------
+    hit = trace.intersect(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T),
+                          active=tracing)
+    it = make_interaction(scene, hit, ray_o, ray_d)
+    valid = it.valid & tracing
+    n_rays = s["n_rays"] + jnp.sum(tracing.astype(jnp.float32))
+
+    # ---- emissive radiance of this hit ----------------------------------
+    le = bsdf_mod.emitted_radiance(scene, meta, it, wl)
+    if strategy == "pt":
+        w_emit = jnp.ones(r)
+    elif strategy == "nee":
+        # only after specular bounces; camera rays count as specular
+        # (nee_renderer.rs:129-148)
+        w_emit = jnp.where(prev_spec, 1.0, 0.0)
+    else:  # mis (mis_renderer.rs:151-181)
+        pdf_light = lights_mod.pdf_light_for_hit_pos(scene, meta, prev_pos,
+                                                     it, wl)
+        w_emit = jnp.where(prev_spec, 1.0,
+                           lights_mod._balance(prev_pdf, pdf_light))
+    radiance = radiance + jnp.where(valid[:, None],
+                                    throughput * le * w_emit[:, None], 0.0)
+
+    # ---- escape to the environment --------------------------------------
+    if meta.has_env:
+        env_l = _env_escape_radiance(scene, meta, wl, ray_d)
+        esc = tracing & ~it.valid
+        if strategy == "pt":
+            w_env = jnp.ones(r)
+        elif strategy == "nee":
+            # BSDF-sampled escapes are ignored; camera misses count
+            # (base_renderer.rs:180-186, nee_renderer.rs:150-163)
+            w_env = jnp.where(is_cam, 1.0, 0.0)
+        else:
+            pdf_env = lights_mod.pdf_env_for_direction(scene, meta, wl,
+                                                       ray_d)
+            w_env = jnp.where(prev_spec, 1.0,
+                              lights_mod._balance(prev_pdf, pdf_env))
+        radiance = radiance + jnp.where(
+            esc[:, None], throughput * env_l * w_env[:, None], 0.0)
+
+    # ---- continue from this vertex? -------------------------------------
+    alive = valid & bsdf_mod.is_bsdf_material(scene, it) & ~last_seg
+
+    frame = make_frame(it.shading_n, it.tangent)
+    wo_t = to_frame(frame, it.wo)
+    base = 3 + DIMS_PER_BOUNCE * depth                 # per-lane dim window
+    uc = sampler.get_1d(px, sample, base)
+    uv2 = sampler.get_2d(px, sample, base + 1)
+    ms = bsdf_mod.sample_material(scene, meta, it, frame, wo_t, uc, uv2, wl)
+    wl = ms.wl
+
+    if strategy in ("nee", "mis"):
+        u_light = sampler.get_1d(px, sample, base + 3)
+        u_s = sampler.get_1d(px, sample, base + 4)
+        u_uv = sampler.get_2d(px, sample, base + 5)
+        nee_it = it._replace(valid=alive & ms.sampled & ~ms.specular)
+        nee = lights_mod.evaluate_nee(scene, meta, nee_it, frame, wo_t, wl,
+                                      u_light, u_s, u_uv,
+                                      with_mis=(strategy == "mis"))
+        radiance = radiance + jnp.where(
+            nee_it.valid[:, None],
+            throughput * nee.contribution * nee.mis_weight[:, None], 0.0)
+        n_rays = n_rays + jnp.sum(nee_it.valid.astype(jnp.float32))
+
+    wi = from_frame(frame, ms.wi_t)
+    next_o = _offset_origin(it.position, it.geo_n, wi)
+    cont = alive & ms.sampled & (ms.pdf > 0.0)
+    inv_pdf = jnp.where(ms.pdf > 0.0,
+                        1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
+    new_thr = jnp.where(cont[:, None], throughput * ms.f * inv_pdf[:, None],
+                        throughput)
+
+    # russian roulette decides whether the NEXT hit becomes the last
+    # contributing segment (base_renderer.rs:76-92)
+    p_rr = swl.max_value(new_thr)
+    u_rr = sampler.get_1d(px, sample, base + 7)
+    survive = (p_rr >= 1.0) | (u_rr < p_rr)
+    new_thr = jnp.where((p_rr < 1.0)[:, None],
+                        new_thr / jnp.maximum(p_rr, 1e-12)[:, None], new_thr)
+    new_last = ~survive | (depth + 1 >= max_depth_dyn)
+
+    # ---- lane bookkeeping -----------------------------------------------
+    new_tracing = cont
+    finalize = tracing & ~new_tracing
+    rgb = film_mod.spectral_to_rgb(radiance, wl, exposure=cfg.exposure)
+    accum = s["accum"] + jnp.where(finalize[:, None], rgb, 0.0)
+
+    nt = new_tracing[:, None]
+    return dict(
+        sample=sample,
+        depth=jnp.where(new_tracing, depth + 1, depth),
+        tracing=new_tracing,
+        last_seg=jnp.where(new_tracing, new_last, last_seg),
+        is_cam=jnp.where(new_tracing, False, is_cam),
+        prev_spec=jnp.where(new_tracing, ms.specular, prev_spec),
+        prev_pdf=jnp.where(new_tracing, ms.pdf, prev_pdf),
+        prev_pos=jnp.where(nt, it.position, prev_pos),
+        ray_o=jnp.where(nt, next_o, ray_o),
+        ray_d=jnp.where(nt, wi, ray_d),
+        lam=wl.lam,
+        pdf=wl.pdf,
+        throughput=jnp.where(nt, new_thr, throughput),
+        radiance=radiance,
+        accum=accum,
+        n_rays=n_rays,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4), donate_argnums=(7,))
+def _wavefront_chunk(scene, meta, camera, cfg, iters, spp_end, px_tile,
+                     state, max_depth_dyn):
+    """Run up to ``iters`` wavefront steps; stops early when every lane is
+    done.  Returns (state, all_done scalar)."""
+    sampler = make_sampler(cfg.sampler, cfg.seed, cfg.spp,
+                           (cfg.width, cfg.height))
+
+    def done(s):
+        return jnp.all(~s["tracing"] & (s["sample"] + 1 >= spp_end))
+
+    def cond(c):
+        k, s = c
+        return (k < iters) & ~done(s)
+
+    def body(c):
+        k, s = c
+        return k + 1, _wavefront_step(scene, meta, camera, cfg, sampler,
+                                      px_tile, spp_end, s, max_depth_dyn)
+
+    _, state = jax.lax.while_loop(cond, body, (0, state))
+    return state, done(state)
+
+
+# wavefront steps per device call: each step costs about one bounce of the
+# whole lane array; this bounds a call well under the platform's ~1 min
+# execution watchdog at the largest tile size
+WAVEFRONT_ITERS = 48
+
+
+def render_wavefront(scene: SceneData, meta: SceneMeta, camera: Camera,
+                     cfg: RenderConfig, spp_start: int = 0,
+                     spp_end: int | None = None, accum_init=None,
+                     with_ray_count: bool = False):
+    """Linear-RGB film sum over samples [spp_start, spp_end) -> (H*W, 3)
+    via the regenerative wavefront.  Deterministic and chunk-invariant."""
+    import numpy as np
+
+    spp_end = cfg.spp if spp_end is None else spp_end
+    n_px = cfg.width * cfg.height
+    pixel_xy = _pixel_grid(cfg.width, cfg.height)
+    md = jnp.asarray(cfg.max_depth, jnp.int32)
+    tile, _ = render_plan(cfg)
+    n_tiles = -(-n_px // tile)
+    pad = n_tiles * tile - n_px
+    if pad:
+        pixel_xy = jnp.concatenate(
+            [pixel_xy, jnp.zeros((pad, 2), jnp.int32)], 0)
+    if accum_init is not None:
+        ai = jnp.asarray(accum_init)
+        if pad:
+            ai = jnp.concatenate([ai, jnp.zeros((pad, 3), ai.dtype)], 0)
+    else:
+        ai = jnp.zeros((n_tiles * tile, 3))
+
+    outs = []
+    n_rays = 0.0
+    for k in range(n_tiles):
+        px_tile = pixel_xy[k * tile:(k + 1) * tile]
+        state = _wavefront_init(tile, spp_start, ai[k * tile:(k + 1) * tile])
+        while True:
+            state, all_done = _wavefront_chunk(
+                scene, meta, camera, cfg, WAVEFRONT_ITERS,
+                jnp.asarray(spp_end, jnp.int32), px_tile, state, md)
+            if bool(np.asarray(all_done)):
+                break
+        outs.append(state["accum"])
+        n_rays += float(np.asarray(state["n_rays"]))
+    accum = jnp.concatenate(outs, 0)[:n_px]
+    if with_ray_count:
+        return accum, n_rays
+    return accum
 
 
 def render(scene: SceneData, meta: SceneMeta, camera: Camera,

@@ -251,12 +251,19 @@ def pdf_light_for_hit(scene: SceneData, meta: SceneMeta, prev_it, next_it, wl):
     — selection probability x area pdf x area->solid-angle Jacobian
     (Scene::pdf_light_sample, scene.rs:156-182).  (R,) zeros for non-light
     hits."""
+    return pdf_light_for_hit_pos(scene, meta, prev_it.position, next_it, wl)
+
+
+def pdf_light_for_hit_pos(scene: SceneData, meta: SceneMeta, prev_pos,
+                          next_it, wl):
+    """Same as pdf_light_for_hit with the previous vertex given as a bare
+    position (the regenerative wavefront carries only the position)."""
     light_row = next_it.light_id
     is_area = (light_row >= 0) & next_it.valid
     prob = light_probability(scene, meta, wl, light_row)
     area_total = jnp.maximum(scene.lights.area_total[jnp.maximum(light_row, 0)],
                              1e-12)
-    dvec = prev_it.position - next_it.position
+    dvec = prev_pos - next_it.position
     d2 = jnp.maximum(dot(dvec, dvec), 1e-12)
     cos_l = jnp.abs(dot(next_it.geo_n, normalize(dvec)))
     pdf_dir = (1.0 / area_total) * d2 / jnp.maximum(cos_l, 1e-8)

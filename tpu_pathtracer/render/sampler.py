@@ -148,11 +148,21 @@ class RandomSampler:
     resolution: tuple  # (w, h) — unused, kept for API parity
 
     def _keys(self, pixel_xy, sample_idx, dim):
+        """sample_idx and dim may be scalars or per-lane (R,) arrays (the
+        regenerative wavefront has every lane at its own sample/depth);
+        scalar inputs produce bitwise the same streams as before."""
         k = jax.random.PRNGKey(self.seed)
-        k = jax.random.fold_in(jax.random.fold_in(k, dim), sample_idx)
         m = morton2(pixel_xy[:, 0].astype(jnp.uint32),
                     pixel_xy[:, 1].astype(jnp.uint32))
-        return jax.vmap(jax.random.fold_in, (None, 0))(k, m)
+        r = m.shape[0]
+        d = jnp.broadcast_to(jnp.asarray(dim, jnp.uint32), (r,))
+        s = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (r,))
+
+        def mk(di, si, mi):
+            return jax.random.fold_in(
+                jax.random.fold_in(jax.random.fold_in(k, di), si), mi)
+
+        return jax.vmap(mk)(d, s, m)
 
     def get_1d(self, pixel_xy, sample_idx, dim):
         """pixel_xy: (R, 2) int pixel coords -> (R,) uniforms."""
