@@ -377,6 +377,14 @@ def render_accum(scene: SceneData, meta: SceneMeta, camera: Camera,
 # where russian roulette (and the depth bound) kill a path AFTER the
 # bounce ray's own hit was counted (base_renderer.rs:76-92 runs after the
 # emissive lookup of the traced ray).
+#
+# Weight ordering (matches trace_sample / base_renderer.rs:76-92,231-264):
+# the Le/env of a traced hit is weighted by the throughput BEFORE that
+# segment's russian-roulette 1/p boost, while NEE at the hit's vertex and
+# all later bounces use the boosted throughput.  The wavefront therefore
+# carries TWO throughputs: ``thr_emit`` (pre-boost, feeds only the hit's
+# emissive / env-escape terms) and ``throughput`` (boosted, feeds NEE and
+# the next f/pdf update).
 # ---------------------------------------------------------------------------
 
 def _wavefront_init(r: int, spp_start: int, accum):
@@ -394,6 +402,7 @@ def _wavefront_init(r: int, spp_start: int, accum):
         lam=jnp.full((r, 4), 550.0),
         pdf=jnp.zeros((r, 4)),
         throughput=jnp.zeros((r, 4)),
+        thr_emit=jnp.zeros((r, 4)),
         radiance=jnp.zeros((r, 4)),
         accum=accum,
         n_rays=jnp.zeros((), jnp.float32),
@@ -421,6 +430,8 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     ray_d = jnp.where(rg, cam_d, s["ray_d"])
     throughput = jnp.where(rg, weight[:, None] + jnp.zeros((r, 4)),
                            s["throughput"])
+    thr_emit = jnp.where(rg, weight[:, None] + jnp.zeros((r, 4)),
+                         s["thr_emit"])
     radiance = jnp.where(rg, 0.0, s["radiance"])
     depth = jnp.where(regen, 0, s["depth"])
     is_cam = jnp.where(regen, True, s["is_cam"])
@@ -451,8 +462,10 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
                                                      it, wl)
         w_emit = jnp.where(prev_spec, 1.0,
                            lights_mod._balance(prev_pdf, pdf_light))
+    # pre-RR-boost weight: base_renderer.rs counts the traced ray's Le
+    # BEFORE roulette boosts the carried throughput (rs:76-92,231-264)
     radiance = radiance + jnp.where(valid[:, None],
-                                    throughput * le * w_emit[:, None], 0.0)
+                                    thr_emit * le * w_emit[:, None], 0.0)
 
     # ---- escape to the environment --------------------------------------
     if meta.has_env:
@@ -470,7 +483,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
             w_env = jnp.where(prev_spec, 1.0,
                               lights_mod._balance(prev_pdf, pdf_env))
         radiance = radiance + jnp.where(
-            esc[:, None], throughput * env_l * w_env[:, None], 0.0)
+            esc[:, None], thr_emit * env_l * w_env[:, None], 0.0)
 
     # ---- continue from this vertex? -------------------------------------
     alive = valid & bsdf_mod.is_bsdf_material(scene, it) & ~last_seg
@@ -501,16 +514,19 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     cont = alive & ms.sampled & (ms.pdf > 0.0)
     inv_pdf = jnp.where(ms.pdf > 0.0,
                         1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
-    new_thr = jnp.where(cont[:, None], throughput * ms.f * inv_pdf[:, None],
-                        throughput)
+    new_thr_emit = jnp.where(cont[:, None],
+                             throughput * ms.f * inv_pdf[:, None], throughput)
 
     # russian roulette decides whether the NEXT hit becomes the last
-    # contributing segment (base_renderer.rs:76-92)
-    p_rr = swl.max_value(new_thr)
+    # contributing segment (base_renderer.rs:76-92); the 1/p boost applies
+    # only to the carried throughput (NEE + later bounces), never to the
+    # next hit's own Le — that uses new_thr_emit
+    p_rr = swl.max_value(new_thr_emit)
     u_rr = sampler.get_1d(px, sample, base + 7)
     survive = (p_rr >= 1.0) | (u_rr < p_rr)
     new_thr = jnp.where((p_rr < 1.0)[:, None],
-                        new_thr / jnp.maximum(p_rr, 1e-12)[:, None], new_thr)
+                        new_thr_emit / jnp.maximum(p_rr, 1e-12)[:, None],
+                        new_thr_emit)
     new_last = ~survive | (depth + 1 >= max_depth_dyn)
 
     # ---- lane bookkeeping -----------------------------------------------
@@ -534,6 +550,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
         lam=wl.lam,
         pdf=wl.pdf,
         throughput=jnp.where(nt, new_thr, throughput),
+        thr_emit=jnp.where(nt, new_thr_emit, thr_emit),
         radiance=radiance,
         accum=accum,
         n_rays=n_rays,
