@@ -44,8 +44,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RAY_TILE = 128   # rays per program (sublanes of the test arrays)
+RAY_TILE = 128   # rays per program
+# rays per culling subtile.  8-ray subtiles give ~4x tighter block lists
+# (measured, scene17 bounce rays) but the per-block-test scalar/control
+# overhead (~0.4us: SMEM reads, while cond, dynamic slices) then dominates
+# the (8, 128) vector work — measured 75/36 ms vs 64/7 ms closest/any-hit.
+# Full-tile subtiles keep the vector:control ratio ~3:1, the best measured.
+SUB = 128
+SUB_PER_PROG = RAY_TILE // SUB
 BLOCK = 128      # triangles per block (lanes) — must match trace.BLOCK
+EXIT_GROUP = 4   # blocks tested between front-to-back early-exit checks
 BIG_T = 3.0e38
 
 _PRECISE_DEFAULT = os.environ.get("TPT_PRECISE_TRACE", "") not in ("", "0")
@@ -93,15 +101,16 @@ def _diff_of_products(a, b, c, d, precise: bool):
     return (p - q) + (pe - qe)
 
 
-def _ray_setup(rays_ref):
-    """Shear-transform constants for the tile's rays (PBRT watertight)."""
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
-    t_max = rays_ref[:, 6:7]
+def _ray_setup(rays, t_max):
+    """Shear-transform constants for the tile's rays (PBRT watertight).
+
+    rays: (R, 8) = [ox oy oz 1 dx dy dz 0]; t_max: (R, 1)."""
+    ox = rays[:, 0:1]
+    oy = rays[:, 1:2]
+    oz = rays[:, 2:3]
+    dx = rays[:, 4:5]
+    dy = rays[:, 5:6]
+    dz = rays[:, 6:7]
 
     adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     kz = jnp.where(adx > ady,
@@ -170,76 +179,173 @@ def _block_test(tri_ref, blk, setup, best_t, precise: bool, n_real: int):
     return t, e1 * inv_det, e2 * inv_det, hit
 
 
-def _kernel_closest(list_ref, rays_ref, tri_ref,
+def _block_test_fast(tri_m_ref, blk, rays, best_t, n_real: int):
+    """Unit-triangle-transform test: the per-pair bilinear part rides the
+    MXU.
+
+    rays: (R, 8) = [o, 1, d, 0].  tri_m_ref: (4, C*3*BLOCK) transforms
+    (trace.BVHArrays.tri_m).  [o, 1] @ M gives the ray origin in each
+    triangle's coordinates (u, v, w); [d, 0] @ M the direction.  The plane
+    hit t = -o_w / d_w is the WORLD-space ray parameter (affine maps
+    preserve it), and (u, v) at t are the barycentrics of (p1, p2)
+    directly.  ~25 VPU ops per pair vs ~95 for the shear test; the two
+    (R, 4) x (4, 3*BLOCK) matmuls are MXU work.  Degenerate/padding
+    triangles have all-zero columns -> t = 0 * inf = NaN -> every compare
+    false -> no hit.
+    """
+    cols = tri_m_ref[:, pl.ds(blk * (3 * BLOCK), 3 * BLOCK)]   # (4, 3B)
+    oc = jax.lax.dot_general(rays[:, 0:4], cols,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dc = jax.lax.dot_general(rays[:, 4:8], cols,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_u, o_v, o_w = oc[:, :BLOCK], oc[:, BLOCK:2 * BLOCK], oc[:, 2 * BLOCK:]
+    d_u, d_v, d_w = dc[:, :BLOCK], dc[:, BLOCK:2 * BLOCK], dc[:, 2 * BLOCK:]
+    t = -o_w / d_w
+    u = o_u + t * d_u
+    v = o_v + t * d_v
+    hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > 1e-6) & (t < best_t))
+    lane = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    hit = hit & (blk * BLOCK + lane < n_real)
+    return t, u, v, hit
+
+
+def _kernel_closest(list_ref, entry_ref, rays_ref, tmax_ref, tri_ref,
                     t_ref, tri_out_ref, b1_ref, b2_ref, *, precise: bool,
-                    n_real: int):
-    # list_ref: (8, 1 + C) SMEM rows for 8 consecutive programs;
-    # row layout: [count, blk0, blk1, ...] front-to-back
-    row = pl.program_id(0) % 8
-    setup = _ray_setup(rays_ref)
-    t_max = setup[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, BLOCK), 1)
+                    n_real: int, progs_per_block: int):
+    # list_ref: SMEM rows, one per subtile; row layout
+    # [count, blk0, blk1, ...] front-to-back.  Mosaic needs >= 8 SMEM
+    # rows per block, so ``progs_per_block`` consecutive programs share
+    # one block (selected by program_id).
+    # entry_ref: matching per-block slab-entry t rows.
+    # The program walks its subtiles sequentially; each subtile tests only
+    # ITS block list.
+    row0 = (pl.program_id(0) % progs_per_block) * SUB_PER_PROG
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, BLOCK), 1)
 
-    def body(j, carry):
-        best_t, best_tri, best_b1, best_b2 = carry
-        blk = list_ref[row, 1 + j]
-        t, b1, b2, hit = _block_test(tri_ref, blk, setup, best_t,
-                                     precise, n_real)
-        t = jnp.where(hit, t, BIG_T)
-        tmin = jnp.min(t, axis=1, keepdims=True)           # (R, 1)
-        jmin = jnp.min(jnp.where(t == tmin, lane, BLOCK), axis=1,
-                       keepdims=True)
-        better = tmin < best_t
-        pick = jnp.where(lane == jmin, 1.0, 0.0)
-        b1w = jnp.sum(b1 * pick, axis=1, keepdims=True)
-        b2w = jnp.sum(b2 * pick, axis=1, keepdims=True)
-        best_b1 = jnp.where(better, b1w, best_b1)
-        best_b2 = jnp.where(better, b2w, best_b2)
-        best_tri = jnp.where(better, blk * BLOCK + jmin, best_tri)
-        best_t = jnp.where(better, tmin, best_t)
-        return best_t, best_tri, best_b1, best_b2
+    def subtile(s_, _):
+        s = row0 + s_
+        rays = rays_ref[pl.ds(s_ * SUB, SUB), :]
+        t_max = tmax_ref[pl.ds(s_ * SUB, SUB), :]
+        setup = _ray_setup(rays, t_max) if precise else None
+        cnt = list_ref[s, 0]
 
-    init = (t_max + 0.0,
-            jnp.full((RAY_TILE, 1), -1, jnp.int32),
-            jnp.zeros((RAY_TILE, 1), jnp.float32),
-            jnp.zeros((RAY_TILE, 1), jnp.float32))
-    best_t, best_tri, best_b1, best_b2 = jax.lax.fori_loop(
-        0, list_ref[row, 0], body, init)
-    t_ref[:, :] = best_t
-    tri_out_ref[:, :] = best_tri
-    b1_ref[:, :] = best_b1
-    b2_ref[:, :] = best_b2
+        def cond(carry):
+            # front-to-back early exit, checked once per GROUP of blocks:
+            # once EVERY ray's best hit is nearer than the next block's
+            # slab entry, no later block can improve.  Group granularity
+            # keeps the vector->scalar reduce off the per-block critical
+            # path (a per-block check serialized the loop, measured +10%).
+            j, best_t, _, _, _ = carry
+            return (j < cnt) & (entry_ref[s, j] < jnp.max(best_t))
+
+        def one_block(j, carry):
+            best_t, best_tri, best_b1, best_b2 = carry
+            blk = list_ref[s, 1 + j]
+            if precise:
+                t, b1, b2, hit = _block_test(tri_ref, blk, setup, best_t,
+                                             True, n_real)
+            else:
+                t, b1, b2, hit = _block_test_fast(tri_ref, blk, rays,
+                                                  best_t, n_real)
+            t = jnp.where(hit, t, BIG_T)
+            tmin = jnp.min(t, axis=1, keepdims=True)       # (SUB, 1)
+            jmin = jnp.min(jnp.where(t == tmin, lane, BLOCK), axis=1,
+                           keepdims=True)
+            better = tmin < best_t
+            pick = jnp.where(lane == jmin, 1.0, 0.0)
+            b1w = jnp.sum(b1 * pick, axis=1, keepdims=True)
+            b2w = jnp.sum(b2 * pick, axis=1, keepdims=True)
+            best_b1 = jnp.where(better, b1w, best_b1)
+            best_b2 = jnp.where(better, b2w, best_b2)
+            best_tri = jnp.where(better, blk * BLOCK + jmin, best_tri)
+            best_t = jnp.where(better, tmin, best_t)
+            return best_t, best_tri, best_b1, best_b2
+
+        def body(carry):
+            # EXIT_GROUP consecutive blocks per exit check; the list/entry
+            # tables are padded with EXIT_GROUP never-hit columns so the
+            # unguarded j+k reads stay in bounds (re-testing a padded
+            # block id is a no-op: its AABB failed the subtile's cull)
+            j, *inner = carry
+            for k in range(EXIT_GROUP):
+                inner = one_block(j + k, tuple(inner))
+            return (j + EXIT_GROUP, *inner)
+
+        init = (jnp.int32(0), t_max + 0.0,
+                jnp.full((SUB, 1), -1, jnp.int32),
+                jnp.zeros((SUB, 1), jnp.float32),
+                jnp.zeros((SUB, 1), jnp.float32))
+        _, best_t, best_tri, best_b1, best_b2 = jax.lax.while_loop(
+            cond, body, init)
+        t_ref[pl.ds(s_ * SUB, SUB), :] = best_t
+        tri_out_ref[pl.ds(s_ * SUB, SUB), :] = best_tri
+        b1_ref[pl.ds(s_ * SUB, SUB), :] = best_b1
+        b2_ref[pl.ds(s_ * SUB, SUB), :] = best_b2
+        return 0
+
+    jax.lax.fori_loop(0, SUB_PER_PROG, subtile, 0)
 
 
-def _kernel_anyhit(list_ref, rays_ref, tri_ref, occ_ref, *,
-                   precise: bool, n_real: int):
-    row = pl.program_id(0) % 8
-    setup = _ray_setup(rays_ref)
-    t_max = setup[-1]
+def _kernel_anyhit(list_ref, entry_ref, rays_ref, tmax_ref, tri_ref,
+                   occ_ref, *, precise: bool, n_real: int,
+                   progs_per_block: int):
+    row0 = (pl.program_id(0) % progs_per_block) * SUB_PER_PROG
 
-    def body(j, occ):
-        blk = list_ref[row, 1 + j]
-        # per-block skip once the whole tile is resolved would need a
-        # vector->scalar reduce per step; instead occluded rays get
-        # best_t = -BIG_T so later tests are trivially all-false.
-        # occ is carried as i32: Mosaic cannot legalize i1 vector carries.
-        t, _, _, hit = _block_test(tri_ref, blk, setup,
-                                   jnp.where(occ > 0, -BIG_T, t_max),
-                                   precise, n_real)
-        return jnp.maximum(occ, jnp.max(hit.astype(jnp.int32), axis=1,
-                                        keepdims=True))
+    def subtile(s_, _):
+        s = row0 + s_
+        rays = rays_ref[pl.ds(s_ * SUB, SUB), :]
+        t_max = tmax_ref[pl.ds(s_ * SUB, SUB), :]
+        setup = _ray_setup(rays, t_max) if precise else None
+        cnt = list_ref[s, 0]
 
-    occ = jax.lax.fori_loop(0, list_ref[row, 0],
-                            body, jnp.zeros((RAY_TILE, 1), jnp.int32))
-    occ_ref[:, :] = occ
+        def cond(carry):
+            # stop as soon as every live ray of the subtile is occluded
+            j, occ = carry
+            return (j < cnt) & (jnp.min(occ) == 0)
+
+        def one_block(j, occ):
+            blk = list_ref[s, 1 + j]
+            # occluded rays get best_t = -BIG_T so later tests are
+            # trivially all-false.  occ is carried as i32: Mosaic cannot
+            # legalize i1 vector carries.
+            bound = jnp.where(occ > 0, -BIG_T, t_max)
+            if precise:
+                t, _, _, hit = _block_test(tri_ref, blk, setup, bound,
+                                           True, n_real)
+            else:
+                t, _, _, hit = _block_test_fast(tri_ref, blk, rays, bound,
+                                                n_real)
+            return jnp.maximum(
+                occ, jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True))
+
+        def body(carry):
+            j, occ = carry
+            for k in range(EXIT_GROUP):
+                occ = one_block(j + k, occ)
+            return j + EXIT_GROUP, occ
+
+        # dead rays (t_max < 0) start as "occluded" so a mixed subtile can
+        # still early-exit; masked back to 0 on output (contract: inactive
+        # rays never report a hit)
+        dead = (t_max < 0.0).astype(jnp.int32)
+        _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), dead + 0))
+        occ_ref[pl.ds(s_ * SUB, SUB), :] = occ * (1 - dead)
+        return 0
+
+    jax.lax.fori_loop(0, SUB_PER_PROG, subtile, 0)
 
 
-def _block_lists(blk_min, blk_max, ray_o, ray_d, t_max, n_prog):
-    """Per-tile compact, front-to-back block lists from a dense cull pass.
+def _block_lists(blk_min, blk_max, ray_o, ray_d, t_max, n_sub):
+    """Per-SUBTILE compact, front-to-back block lists from a dense cull.
 
-    Returns (cnt (n_prog, 1) i32, lists (n_prog, C) i32): the first
-    cnt[i] entries of lists[i] are the blocks whose AABB at least one
-    live ray of tile i hits, ordered by the tile's nearest slab entry.
+    Returns (lists (n_sub, 1+C+pad) i32, entries (n_sub, C+pad) f32): the
+    first lists[i, 0] entries of lists[i, 1:] are the blocks whose AABB at
+    least one live ray of 8-ray subtile i hits, ordered by the subtile's
+    nearest slab entry (entries carries those distances for the kernels'
+    early exit).
     """
     c = blk_min.shape[0]
     inv = 1.0 / ray_d                                      # (R, 3)
@@ -251,20 +357,27 @@ def _block_lists(blk_min, blk_max, ray_o, ray_d, t_max, n_prog):
         tn = jnp.maximum(tn, jnp.minimum(lo, hi))
         tf = jnp.minimum(tf, jnp.maximum(lo, hi))
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])
-    hitp = hit.reshape(n_prog, RAY_TILE, c)
-    any_hit = hitp.any(axis=1)                             # (n_prog, C)
-    entry = jnp.where(hitp, jnp.maximum(tn, 0.0).reshape(n_prog, RAY_TILE, c),
-                      jnp.inf).min(axis=1)                 # (n_prog, C)
+    hitp = hit.reshape(n_sub, SUB, c)
+    any_hit = hitp.any(axis=1)                             # (n_sub, C)
+    entry = jnp.where(hitp, jnp.maximum(tn, 0.0).reshape(n_sub, SUB, c),
+                      jnp.inf).min(axis=1)                 # (n_sub, C)
     key = jnp.where(any_hit, entry, jnp.inf)
     ids = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :],
                            key.shape)
     # lax.sort, not argsort: jnp.argsort takes ~2 min to compile on this
     # toolchain; the key-value sort compiles in seconds
-    _, order = jax.lax.sort([key, ids], num_keys=1, dimension=1)
+    key_sorted, order = jax.lax.sort([key, ids], num_keys=1, dimension=1)
     cnt = any_hit.sum(axis=1, dtype=jnp.int32)[:, None]
-    # merged row layout [count, blk...]: Mosaic requires SMEM block dims
-    # (8, full), so 8 programs share one block, selected by program_id % 8
-    return jnp.concatenate([cnt, order], axis=1)
+    # merged row layout [count, blk...] per subtile; SUB_PER_PROG rows form
+    # one program's SMEM block.  key_sorted doubles as the front-to-back
+    # slab-entry table (inf for blocks past cnt), feeding the kernels'
+    # early-exit condition.  Both tables get EXIT_GROUP pad columns
+    # (block 0 / entry inf) so the kernels' unguarded grouped reads stay
+    # in bounds.
+    pad_blk = jnp.zeros((n_sub, EXIT_GROUP), jnp.int32)
+    pad_ent = jnp.full((n_sub, EXIT_GROUP), jnp.inf)
+    return (jnp.concatenate([cnt, order, pad_blk], axis=1),
+            jnp.concatenate([key_sorted, pad_ent], axis=1))
 
 
 def _coherence_keys(ray_o, ray_d, t0):
@@ -281,7 +394,11 @@ def _coherence_keys(ray_o, ray_d, t0):
             | ((ray_d[:, 1] < 0).astype(jnp.uint32) << 1)
             | ((ray_d[:, 2] < 0).astype(jnp.uint32) << 2))
     key = (oct_ << jnp.uint32(25)) | (m & jnp.uint32((1 << 25) - 1))
-    return jnp.where(t0 < 0.0, jnp.uint32(0xFFFFFFFF), key).astype(jnp.int32)
+    # int32-safe dead-ray sentinel: real keys use bits 0..27 only, so
+    # INT32_MAX sorts strictly AFTER every live key (0xFFFFFFFF would cast
+    # to -1 and sort the dead rays FIRST, splitting live tiles)
+    return jnp.where(t0 < 0.0, jnp.int32(0x7FFFFFFF),
+                     key.astype(jnp.int32))
 
 
 @functools.partial(jax.jit,
@@ -291,34 +408,50 @@ def _traverse_pallas(tri_t, blk_min, blk_max, ray_o, ray_d, t_max,
                      n_real, any_hit=False, precise=False, interpret=False):
     r = ray_o.shape[0]
     n_prog = r // RAY_TILE
-    c = tri_t.shape[1] // BLOCK
-    lists = _block_lists(blk_min, blk_max, ray_o, ray_d, t_max, n_prog)
-    rays = jnp.concatenate(
-        [ray_o, ray_d, t_max[:, None], jnp.zeros((r, 1))], axis=1)
+    n_sub = r // SUB
+    c = blk_min.shape[0]
+    lists, entries = _block_lists(blk_min, blk_max, ray_o, ray_d, t_max,
+                                  n_sub)
+    one = jnp.ones((r, 1))
+    rays = jnp.concatenate([ray_o, one, ray_d, one * 0.0], axis=1)
+    tmax_col = t_max[:, None]
+
+    # Mosaic SMEM blocks need >= 8 rows; when a program owns fewer subtile
+    # rows, consecutive programs share one block (selected by program_id)
+    progs_per_block = max(1, 8 // SUB_PER_PROG)
+    smem_rows = SUB_PER_PROG * progs_per_block
 
     in_specs = [
-        pl.BlockSpec((8, 1 + c), lambda i: (i // 8, 0),
+        pl.BlockSpec((smem_rows, 1 + c + EXIT_GROUP),
+                     lambda i: (i // progs_per_block, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((smem_rows, c + EXIT_GROUP),
+                     lambda i: (i // progs_per_block, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # whole (9, C*BLOCK)
+        pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # whole triangle table
     ]
     if any_hit:
         occ = pl.pallas_call(
             functools.partial(_kernel_anyhit, precise=precise,
-                              n_real=n_real),
+                              n_real=n_real,
+                              progs_per_block=progs_per_block),
             grid_spec=pl.GridSpec(
                 grid=(n_prog,), in_specs=in_specs,
                 out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)),
             out_shape=jax.ShapeDtypeStruct((r, 1), jnp.int32),
             interpret=interpret,
-        )(lists, rays, tri_t)
+        )(lists, entries, rays, tmax_col, tri_t)
         return occ[:, 0] != 0
     out_spec = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     t, tri, b1, b2 = pl.pallas_call(
-        functools.partial(_kernel_closest, precise=precise, n_real=n_real),
+        functools.partial(_kernel_closest, precise=precise, n_real=n_real,
+                          progs_per_block=progs_per_block),
         grid_spec=pl.GridSpec(grid=(n_prog,), in_specs=in_specs,
                               out_specs=[out_spec] * 4),
         out_shape=[
@@ -328,7 +461,7 @@ def _traverse_pallas(tri_t, blk_min, blk_max, ray_o, ray_d, t_max,
             jax.ShapeDtypeStruct((r, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(lists, rays, tri_t)
+    )(lists, entries, rays, tmax_col, tri_t)
     return t[:, 0], tri[:, 0], b1[:, 0], b2[:, 0]
 
 
@@ -350,7 +483,8 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
     if active is not None:
         t0 = jnp.where(active, t0, -1.0)
 
-    pad = (-r) % (8 * RAY_TILE)   # 8 programs share one SMEM list block
+    # whole SMEM row-blocks: programs sharing one list block must all exist
+    pad = (-r) % (RAY_TILE * max(1, 8 // SUB_PER_PROG))
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3))], 0)
         ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3))], 0)
@@ -367,7 +501,9 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
     else:
         inv = None
 
-    tri_t = jnp.swapaxes(bvh.tri9p, 0, 1)
+    # triangle table: shear-test layout for precise, unit-triangle affine
+    # transforms (MXU fast path) otherwise
+    tri_t = jnp.swapaxes(bvh.tri9p, 0, 1) if precise else bvh.tri_m
     out = _traverse_pallas(tri_t, bvh.blk_min, bvh.blk_max, ray_o, ray_d,
                            t0, n_real=bvh.tri9.shape[0], any_hit=any_hit,
                            precise=precise, interpret=interpret)

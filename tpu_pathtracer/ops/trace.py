@@ -60,6 +60,13 @@ class BVHArrays(NamedTuple):
     tri9p:   (C*BLOCK, 9) f32 — tri9 zero-padded to whole blocks (a
              degenerate all-zero triangle can never be hit: det == 0)
     blk_min/blk_max: (C, 3) f32 — per-block AABB over the REAL triangles
+    tri_m:   (4, C*3*BLOCK) f32 — per-triangle unit-triangle affine
+             transforms for the MXU fast test: column (blk*3 + c)*BLOCK + j
+             holds [M_c0, M_c1, M_c2, b_c] of block blk's triangle j, so
+             [o, 1] @ tri_m and [d, 0] @ tri_m are matmuls giving the
+             transformed ray in triangle coordinates (u = b1, v = b2,
+             plane hit at o'_w + t d'_w = 0); degenerate/padding rows are
+             all-zero -> t = NaN -> never a hit
     """
     nodes_f: jnp.ndarray
     nodes_i: jnp.ndarray
@@ -71,6 +78,7 @@ class BVHArrays(NamedTuple):
     tri9p: jnp.ndarray
     blk_min: jnp.ndarray
     blk_max: jnp.ndarray
+    tri_m: jnp.ndarray
 
 
 def _leaf_ref(start: int, count: int) -> int:
@@ -131,6 +139,25 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
             blk_min[k] = blk.reshape(-1, 3).min(0)
             blk_max[k] = blk.reshape(-1, 3).max(0)
 
+    # unit-triangle affine transforms (f64 host precompute): M = A^-1 with
+    # A's columns (p1-p0, p2-p0, e1 x e2); q' = M q - M p0 puts the
+    # triangle at the unit right triangle in the w=0 plane
+    V = P.astype(np.float64)
+    e1 = V[:, 1] - V[:, 0]
+    e2 = V[:, 2] - V[:, 0]
+    nrm = np.cross(e1, e2)
+    A = np.stack([e1, e2, nrm], axis=-1)                 # (T, 3, 3)
+    ok = np.abs(np.linalg.det(A)) > 1e-30
+    Minv = np.zeros((t, 3, 3))
+    if ok.any():
+        Minv[ok] = np.linalg.inv(A[ok])
+    boff = -np.einsum("tij,tj->ti", Minv, V[:, 0])       # (T, 3)
+    M4 = np.concatenate([Minv, boff[:, :, None]], axis=2)  # (T, 3, 4)
+    M4p = np.zeros((c * BLOCK, 3, 4), np.float32)
+    M4p[:t] = M4.astype(np.float32)
+    tri_m = (M4p.reshape(c, BLOCK, 3, 4).transpose(0, 2, 1, 3)
+             .reshape(c * 3 * BLOCK, 4).T.copy())        # (4, C*3*BLOCK)
+
     return BVHArrays(
         nodes_f=jnp.asarray(nodes_f),
         nodes_i=jnp.asarray(nodes_i),
@@ -142,6 +169,7 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
         tri9p=jnp.asarray(tri9p),
         blk_min=jnp.asarray(blk_min),
         blk_max=jnp.asarray(blk_max),
+        tri_m=jnp.asarray(tri_m),
     )
 
 

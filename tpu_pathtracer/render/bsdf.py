@@ -30,7 +30,8 @@ from ..scene.types import (MAT_CLEARCOAT, MAT_EMISSIVE, MAT_GLASS,
 from ..spectrum import grid as sgrid
 from ..spectrum import rgb2spec
 from ..spectrum.sampled import SampledWavelengths
-from ..utils.math import dot, from_frame, make_frame, normalize, to_frame
+from ..utils.math import (dot, from_frame, make_frame, mean_last,
+                          normalize, to_frame)
 from . import texture as tex_mod
 
 INV_PI = 1.0 / math.pi
@@ -49,6 +50,16 @@ class MaterialSample(NamedTuple):
 # ---------------------------------------------------------------------------
 # Shared helpers
 # ---------------------------------------------------------------------------
+
+def _bank_eval(scene: SceneData, row, wl) -> jnp.ndarray:
+    """Spectra-bank row evaluated at the path wavelengths, (R, 4).
+
+    Uses the per-sample pre-evaluated slice (``wl.bank``, O(K) column
+    select) when present; falls back to the dense one-hot evaluation."""
+    if wl.bank is not None:
+        return sgrid.bank_select(wl.bank, row)
+    return sgrid.eval_bank(scene.spectra, row, wl.lam)
+
 
 def _albedo_spectrum(scene: SceneData, it, wl) -> jnp.ndarray:
     """Base color/albedo at the hit, as a (R, 4) spectral reflectance.
@@ -155,8 +166,8 @@ def _metal_eta_k(scene, it, wl):
     m = scene.materials
     eta_row = jnp.maximum(m.eta_row[it.mat_id], 0)
     k_row = jnp.maximum(m.k_row[it.mat_id], 0)
-    eta = sgrid.eval_bank(scene.spectra, eta_row, wl.lam)
-    k = sgrid.eval_bank(scene.spectra, k_row, wl.lam)
+    eta = _bank_eval(scene, eta_row, wl)
+    k = _bank_eval(scene, k_row, wl)
     return eta, k
 
 
@@ -229,7 +240,7 @@ def _dielectric_eta(scene, it, wl, dispersive: bool):
     m = scene.materials
     if dispersive:
         row = jnp.maximum(m.eta_row[it.mat_id], 0)
-        return sgrid.eval_bank(scene.spectra, row, wl.lam)
+        return _bank_eval(scene, row, wl)
     return jnp.broadcast_to(m.const_eta[it.mat_id][:, None], wl.lam.shape)
 
 
@@ -261,7 +272,7 @@ def _dielectric_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
                       jnp.asarray([0.0, 0.0, 1.0]),
                       jnp.asarray([0.0, 0.0, -1.0])) * jnp.ones((r, 1))
     fres_s = mf.fresnel_dielectric(jnp.abs(wo[:, 2]), eta_rel)
-    avg_f_s = jnp.mean(fres_s, -1)
+    avg_f_s = mean_last(fres_s)
     pr_s, pt_s = _refl_trans_probs(avg_f_s, thin)
     choose_refl_s = uc < pr_s / jnp.maximum(pr_s + pt_s, 1e-12)
     wi_refl = wo * jnp.asarray([-1.0, -1.0, 1.0])
@@ -282,7 +293,7 @@ def _dielectric_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
     # ---- rough path (dielectric.rs:236-412) ------------------------------
     wm = mf.sample_vndf(wo, uv2, alpha, alpha)
     fres_m = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
-    avg_f_m = jnp.mean(fres_m, -1)
+    avg_f_m = mean_last(fres_m)
     pr_m, pt_m = _refl_trans_probs(avg_f_m, thin)
     choose_refl_m = uc < pr_m / jnp.maximum(pr_m + pt_m, 1e-12)
 
@@ -395,7 +406,7 @@ def _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame, dispersive: bool,
     ok = ok & (dot(wm, wi) * cos_i >= 0.0) & (dot(wm, wo) * cos_o >= 0.0)
 
     fres = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
-    avg_f = jnp.mean(fres, -1)
+    avg_f = mean_last(fres)
     pr, pt = _refl_trans_probs(avg_f, thin)
     d = mf.distribution_d(wm, alpha, alpha)
     g = mf.g2(wo, wi, alpha, alpha)
@@ -532,7 +543,7 @@ def _pbr_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
     f_m, wi_m, pdf_m, ok_m, spec_m = _schlick_r_sample(wo, uv2, alpha,
                                                        base, one, one)
     # dielectric: specular with prob F̄(wo) else diffuse (:313-376)
-    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
+    fbar = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one))
     pick_spec = uc_d < fbar
     f_s, wi_s, pdf_s, ok_s, spec_s = _schlick_r_sample(wo, uv2, alpha,
                                                        r0_diel, one, one)
@@ -573,7 +584,7 @@ def _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame, alpha=None, params=None):
 
     f_metal, pdf_metal = _schlick_r_eval(wo, wi, alpha, base, one, one)
     f_spec, pdf_spec = _schlick_r_eval(wo, wi, alpha, r0_diel, one, one)
-    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
+    fbar = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one))
     # lambert component
     cos_o, cos_i = wo[:, 2], wi[:, 2]
     same = (jnp.sign(cos_o) == jnp.sign(cos_i)) & (cos_o != 0.0) & (cos_i != 0.0)
@@ -632,7 +643,7 @@ def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
     thickness, coat_alpha, coat_r0, tint = _coat_params(scene, it, wl)
     params = _pbr_params(scene, it, wl)
 
-    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
+    e_coat = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one))
     has_coat = thickness > 0.0
     e_coat = jnp.where(has_coat, e_coat, 0.0)
     pick_coat = uc < e_coat
@@ -671,7 +682,7 @@ def _clearcoat_eval(scene, it, wo_t, wi_t, wl, nm_frame):
     has_coat = thickness > 0.0
 
     f_c, pdf_c = _schlick_r_eval(wo, wi, coat_alpha, coat_r0, one, one)
-    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
+    e_coat = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one))
     e_coat = jnp.where(has_coat, e_coat, 0.0)
 
     f_b, pdf_b = _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame)
@@ -833,14 +844,17 @@ def emission_spectral(scene: SceneData, meta: SceneMeta, mat_id, uv,
     row = m.emission_row[mat_id]
     scale = m.emission_scale[mat_id]
     le = jnp.where((row >= 0)[:, None],
-                   sgrid.eval_bank(scene.spectra, jnp.maximum(row, 0),
-                                   wl.lam), 0.0)
+                   _bank_eval(scene, jnp.maximum(row, 0), wl), 0.0)
     if meta.has_emission_tex and len(scene.textures):
         tex_ids = m.emission_tex[mat_id]
         rgb = tex_mod.sample_indexed(scene.textures, tex_ids, uv, 3,
                                      jnp.zeros(3))
+        # D65 is scene-spectra row 0 (builder invariant)
+        d65 = (_bank_eval(scene, jnp.zeros_like(row), wl)
+               if wl.bank is not None else None)
         le_tex = rgb2spec.illuminant_eval(rgb, wl.lam, scene.rs_zn,
-                                          scene.rs_coeffs, scene.spectra[0])
+                                          scene.rs_coeffs, scene.spectra[0],
+                                          d65_vals=d65)
         le = jnp.where((tex_ids >= 0)[:, None], le_tex, le)
     return le * scale[:, None]
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.types import SceneData
+from ..spectrum import grid as sgrid
 from ..spectrum import rgb2spec
 from . import texture as tex_mod
 
@@ -53,8 +54,10 @@ def env_radiance(scene: SceneData, wl, d):
     # is already this orientation, so flip back
     uv = jnp.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
     rgb = tex_mod.sample_bilinear(env.rgb, uv)
+    d65 = (sgrid.bank_select(wl.bank, jnp.zeros(d.shape[0], jnp.int32))
+           if wl.bank is not None else None)
     return rgb2spec.illuminant_eval(rgb, wl.lam, scene.rs_zn, scene.rs_coeffs,
-                                    scene.spectra[0])
+                                    scene.spectra[0], d65_vals=d65)
 
 
 def _cell_probs(cdf):

@@ -52,14 +52,22 @@ def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
                 "film: {n} non-finite spectral contributions zeroed", n=n),
             lambda n: None, n_bad)
         contribution = jnp.where(bad, 0.0, contribution)
-    cmf = jnp.asarray(_cmf_stack())  # (470, 3)
-    # one-hot contraction, not cmf[idx]: a (R, 4)-indexed gather is a TPU
-    # scalar loop; sampled lam always lies in [360, 830) so eval_dense's
-    # out-of-range zeroing matches the old clip behavior
-    cmf_vals = grid.eval_dense(cmf, wl.lam)              # (R, 4, 3)
+    if wl.bank is not None:
+        # pre-evaluated per-sample spectral slice: CMFs are columns 0..2
+        cmf_vals = wl.bank[..., :3]                      # (R, 4, 3)
+    else:
+        cmf = jnp.asarray(_cmf_stack())  # (470, 3)
+        # one-hot contraction, not cmf[idx]: a (R, 4)-indexed gather is a
+        # TPU scalar loop; sampled lam always lies in [360, 830) so
+        # eval_dense's out-of-range zeroing matches the old clip behavior
+        cmf_vals = grid.eval_dense(cmf, wl.lam)          # (R, 4, 3)
     inv_pdf = jnp.where(wl.pdf > 0.0, 1.0 / jnp.where(wl.pdf > 0.0, wl.pdf, 1.0), 0.0)
     w = contribution * inv_pdf / 4.0                     # (R, 4)
-    xyz = jnp.einsum("rl,rlc->rc", w, cmf_vals)
+    # component form, not einsum: the 4-wide contraction lowers to a slow
+    # cross-lane reduce fusion on TPU (utils.math.sum_last rationale)
+    xyz = jnp.stack(
+        [sum(w[:, l] * cmf_vals[:, l, c] for l in range(w.shape[1]))
+         for c in range(3)], axis=-1)
     rgb = color.xyz_to_rgb(xyz, gamut)
     return rgb * exposure
 

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..scene.types import SceneData, SceneMeta
 from ..ops import trace
+from ..spectrum import grid as sgrid
 from ..spectrum import sampled as swl
 from ..utils.math import dot, make_frame, to_frame, from_frame
 from . import bsdf as bsdf_mod
@@ -67,6 +68,20 @@ class RenderConfig:
     # forward-only renders stop bouncing once every ray is dead (while_loop);
     # the differentiable pass sets False to keep the loop reverse-mode safe
     early_exit: bool = True
+
+
+def _spectral_table(scene):
+    """(470, 3+K) stacked dense spectra: CIE CMFs (cols 0..2) + the scene's
+    spectra bank as columns.  Evaluated ONCE per sample at the path's 4
+    wavelengths (``SampledWavelengths.bank``); wavelengths are fixed for a
+    path's whole life, so every later spectral lookup is an O(K) select."""
+    cmf = jnp.asarray(film_mod._cmf_stack())
+    return jnp.concatenate([cmf, scene.spectra.T.astype(cmf.dtype)], axis=1)
+
+
+def _attach_bank(scene, wl):
+    return wl._replace(bank=sgrid.lambda_slice(_spectral_table(scene),
+                                               wl.lam))
 
 
 def _pixel_grid(width, height):
@@ -110,7 +125,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
 
     # wavelengths + camera ray (base_renderer.rs:160-176)
     u_l = sampler.get_1d(pixel_xy, sample_idx, 0)
-    wl = swl.sample_uniform(u_l)
+    wl = _attach_bank(scene, swl.sample_uniform(u_l))
     uv_film = sampler.get_2d(pixel_xy, sample_idx, 1)
     ray_o, ray_d, weight = camera.generate_rays(pixel_xy, uv_film)
     throughput = jnp.ones((r, 4)) * weight[:, None]
@@ -132,9 +147,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
 
     if strategy == "albedo":
         # albedo AOV: reflectance x D65 white (albedo_renderer.rs:17-70)
-        from ..spectrum import grid as sgrid
         alb = bsdf_mod.sample_albedo(scene, meta, it, wl)
-        d65 = sgrid.eval_dense(scene.spectra[0], wl.lam)
+        d65 = wl.bank[..., 3]        # D65 is scene-spectra row 0
         aov = jnp.where((it.valid & bsdf_mod.is_bsdf_material(scene, it))[:, None],
                         alb * d65, 0.0)
         return film_mod.spectral_to_rgb(aov, wl, exposure=cfg.exposure)
@@ -440,7 +454,13 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     prev_pos = jnp.where(rg, cam_o, s["prev_pos"])
     last_seg = jnp.where(regen, False, s["last_seg"])
     tracing = s["tracing"] | regen
-    wl = swl.SampledWavelengths(lam=lam, pdf=pdf_l)
+    # per-step spectral slice: one flat row-gather over the stacked table
+    # feeds every downstream lookup (film CMFs, emission, light power, eta
+    # banks) — recomputed full-width each step because regenerated lanes
+    # change wavelengths (cheaper than carrying (R, 4, C) state)
+    wl = swl.SampledWavelengths(
+        lam=lam, pdf=pdf_l,
+        bank=sgrid.lambda_slice(_spectral_table(scene), lam))
 
     # ---- trace the in-flight rays ---------------------------------------
     hit = trace.intersect(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T),

@@ -39,11 +39,26 @@ class NeeResult(NamedTuple):
 
 def _phi_lambda(scene: SceneData, wl):
     """(R, L): mean-over-lanes spectral power per light."""
+    from ..utils.math import mean_last
     rows = scene.lights.spectrum_row                      # (L,)
-    spd = scene.spectra[rows]                             # (L, 470)
-    vals = sgrid.eval_dense(spd.T, wl.lam)                # (R, 4, L)
-    phi = vals.mean(1) * scene.lights.phi_scale[None, :]  # (R, L)
-    return phi
+    n_l = rows.shape[0]
+    if wl.bank is not None:
+        # per-sample slice: each light's spectrum column picked by an
+        # unrolled scalar-cond select (no one-hot reduce — see
+        # utils.math.sum_last), then a component-form lane mean
+        k = wl.bank.shape[-1] - 3
+        cols = []
+        for s in range(n_l):
+            v = jnp.where(rows[s] == 0, wl.bank[..., 3], 0.0)
+            for i in range(1, k):
+                v = jnp.where(rows[s] == i, wl.bank[..., 3 + i], v)
+            cols.append(mean_last(v))                     # (R,)
+        phi = jnp.stack(cols, axis=-1)                    # (R, L)
+    else:
+        spd = scene.spectra[rows]                         # (L, 470)
+        vals = sgrid.eval_dense(spd.T, wl.lam)            # (R, 4, L)
+        phi = vals.mean(1)
+    return phi * scene.lights.phi_scale[None, :]          # (R, L)
 
 
 def pick_light(scene: SceneData, meta: SceneMeta, wl, u):
@@ -138,9 +153,9 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t, wl,
 
     light_row, prob, any_l = pick_light(scene, meta, wl, u_light)
     lt = scene.lights.light_type[light_row]
-    l_spec = sgrid.eval_bank(scene.spectra,
-                             scene.lights.spectrum_row[light_row],
-                             wl.lam)                              # (R, 4)
+    l_spec = bsdf_mod._bank_eval(scene,
+                                 scene.lights.spectrum_row[light_row],
+                                 wl)                              # (R, 4)
     l_int = scene.lights.intensity[light_row]
 
     types = set(meta.light_types)

@@ -63,6 +63,10 @@ def eval_dense(values, lam):
         return jnp.where(in_range, v, 0.0)
     # values (470, K): evaluate every column at every wavelength
     assert values.ndim == 2
+    # guard the incompatible pre-r3 (R, 470) per-ray-spectra convention:
+    # a stale caller must fail loudly, not silently gather wrong values
+    assert values.shape[0] == N_DENSE, (
+        f"eval_dense 2-D expects (470, K) stacked columns, got {values.shape}")
     flat = idx.reshape(-1)
     if _use_onehot():
         oh = flat[:, None] == jnp.arange(N_DENSE, dtype=jnp.int32)[None, :]
@@ -99,6 +103,49 @@ def eval_bank(banks, row, lam):
         outs.append(jnp.sum(jnp.where(oh, rows, 0.0), axis=-1))
     v = jnp.stack(outs, axis=-1)                         # (R, L)
     return jnp.where(in_range, v, 0.0)
+
+
+def lambda_slice(table, lam, use_gather: bool | None = None):
+    """Evaluate EVERY column of a stacked dense-spectrum table at ``lam``.
+
+    table: (470, C) — C spectra as columns; lam: (..., L) nm.
+    Returns (..., L, C).  This is the once-per-sample producer of
+    ``SampledWavelengths.bank``: one pass over the 470-bin axis shared by
+    all downstream consumers, instead of one dense evaluation per lookup
+    site (film CMFs, emission bank, light power, eta/k banks).
+
+    use_gather: force the flat row-gather path (``table[idx]``, the TPU
+    fast-gather form texture sampling relies on) or the one-hot contraction
+    (exact same semantics); None = gather on TPU, take on CPU.
+    """
+    idx, in_range = _lam_index(lam)
+    flat = idx.reshape(-1)
+    if use_gather is None:
+        use_gather = True          # flat row gather is the fast path on both
+    if use_gather:
+        v = table[flat]                                   # (n, C) row gather
+    else:
+        oh = flat[:, None] == jnp.arange(N_DENSE, dtype=jnp.int32)[None, :]
+        v = jnp.sum(jnp.where(oh[:, :, None], table[None, :, :], 0.0), axis=1)
+    v = v.reshape(idx.shape + (table.shape[-1],))
+    return jnp.where(in_range[..., None], v, 0.0)
+
+
+def bank_select(bank, row, first_col: int = 3):
+    """Select one pre-evaluated spectrum per ray from a wavelength bank.
+
+    bank: (R, L, 3+K) from ``lambda_slice`` (cols 0..2 = CMFs, 3.. = scene
+    spectra); row: (R,) i32 scene-spectra row. Returns (R, L) — the O(K)
+    replacement for ``eval_bank`` when the bank is pre-computed.
+    """
+    k = bank.shape[-1] - first_col
+    # unrolled slice+where chain, not a one-hot reduce: summing over the
+    # tiny minor axis lowers to a slow cross-lane shuffle on TPU (~4 ms
+    # per call at 256k rays, measured)
+    out = jnp.where((row == 0)[:, None], bank[..., first_col], 0.0)
+    for i in range(1, k):
+        out = jnp.where((row == i)[:, None], bank[..., first_col + i], out)
+    return out
 
 
 def bake_piecewise(lambdas, values) -> np.ndarray:

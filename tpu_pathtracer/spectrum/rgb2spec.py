@@ -310,9 +310,14 @@ def unbounded_eval(rgb, lam, zn, coeffs):
     return scale * sigmoid_poly(c, lam)
 
 
-def illuminant_eval(rgb, lam, zn, coeffs, d65_dense):
+def illuminant_eval(rgb, lam, zn, coeffs, d65_dense, d65_vals=None):
     """RgbIlluminantSpectrum: unbounded poly x D65 illuminant
-    (ref: rgb_illuminant_spectrum.rs:17-50)."""
+    (ref: rgb_illuminant_spectrum.rs:17-50).
+
+    d65_vals: optional pre-evaluated D65 at ``lam`` (same shape) — skips
+    the dense evaluation when the caller carries a wavelength bank."""
     from .grid import eval_dense
     base = unbounded_eval(rgb, lam, zn, coeffs)
+    if d65_vals is not None:
+        return base * d65_vals
     return base * eval_dense(jnp.asarray(d65_dense, base.dtype), lam)

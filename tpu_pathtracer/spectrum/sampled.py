@@ -26,9 +26,19 @@ class SampledWavelengths(NamedTuple):
 
     lam: (..., 4) wavelengths in nm.
     pdf: (..., 4) per-lane sampling pdf (0 marks a terminated lane).
+    bank: optional (..., 4, 3+K) per-lane spectral slice — every scene
+        spectrum (CIE x/y/z CMFs in columns 0..2, the scene's dense spectra
+        bank in columns 3..) pre-evaluated at this path's wavelengths.  The
+        wavelengths never change after sampling (dispersion termination only
+        zeroes pdfs), so the integrator computes this ONCE per sample and
+        every downstream spectral lookup becomes an O(K) column select
+        instead of an O(470) dense evaluation (the shading hot-spot found by
+        scripts/profile_step_ablate.py).  None = consumers fall back to
+        dense evaluation.
     """
     lam: jnp.ndarray
     pdf: jnp.ndarray
+    bank: jnp.ndarray | None = None
 
     @property
     def secondary_terminated(self):
@@ -63,7 +73,9 @@ def terminate_secondary(wl: SampledWavelengths, do_terminate) -> SampledWaveleng
     fire = do_terminate & ~already
     lane0 = wl.pdf[..., :1] / jnp.where(fire[..., None], float(N_SPECTRUM_SAMPLES), 1.0)
     rest = jnp.where(fire[..., None], 0.0, wl.pdf[..., 1:])
-    return SampledWavelengths(lam=wl.lam, pdf=jnp.concatenate([lane0, rest], axis=-1))
+    return SampledWavelengths(lam=wl.lam,
+                              pdf=jnp.concatenate([lane0, rest], axis=-1),
+                              bank=wl.bank)
 
 
 def safe_div(a, b):
@@ -73,9 +85,11 @@ def safe_div(a, b):
 
 def average(s):
     """Mean over the 4 lanes (ref ``SampledSpectrum::average``)."""
-    return jnp.mean(s, axis=-1)
+    from ..utils.math import mean_last
+    return mean_last(s)
 
 
 def max_value(s):
     """Max over the 4 lanes (ref ``SampledSpectrum::max_value``)."""
-    return jnp.max(s, axis=-1)
+    from ..utils.math import max_last
+    return max_last(s)

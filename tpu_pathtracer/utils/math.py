@@ -18,15 +18,49 @@ import jax.numpy as jnp
 # Basic vector ops
 # ---------------------------------------------------------------------------
 
+def sum_last(x):
+    """Sum over a SMALL static trailing axis, in component form.
+
+    ``jnp.sum(x, -1)`` over a tiny minor axis lowers to a cross-lane
+    shuffle reduce on TPU (~1-4 ms per fusion at 256k rays, measured —
+    the single largest shading cost class); an unrolled slice+add is a
+    plain elementwise fusion and effectively free."""
+    n = x.shape[-1]
+    out = x[..., 0]
+    for k in range(1, n):
+        out = out + x[..., k]
+    return out
+
+
+def mean_last(x):
+    return sum_last(x) * (1.0 / x.shape[-1])
+
+
+def max_last(x):
+    n = x.shape[-1]
+    out = x[..., 0]
+    for k in range(1, n):
+        out = jnp.maximum(out, x[..., k])
+    return out
+
+
 def select_lane(values, idx):
     """values (..., K) indexed per element by idx (...) -> (...).
 
-    One-hot multiply-reduce instead of ``take_along_axis``: TPU XLA lowers
+    One-hot multiply-select instead of ``take_along_axis``: TPU XLA lowers
     per-element (multi-dim-indexed) gathers to a scalar loop (~10 ms for
-    256k elements, measured), while this compare+select+reduce is fused
-    onto the VPU for free.  K must be small (it is O(K) work per element).
+    256k elements, measured), while compare+select is fused onto the VPU
+    for free.  K must be small (it is O(K) work per element).  Small K
+    unrolls to slice+where chains (no cross-lane reduce, see sum_last);
+    large K keeps the single reduce op (unrolling 100s of slices bloats
+    compile time more than the reduce costs).
     """
     k = values.shape[-1]
+    if k <= 16:
+        out = jnp.where(idx == 0, values[..., 0], 0)
+        for i in range(1, k):
+            out = jnp.where(idx == i, values[..., i], out)
+        return out
     oh = idx[..., None] == jnp.arange(k, dtype=jnp.int32)
     return jnp.sum(jnp.where(oh, values, 0), axis=-1)
 
@@ -38,7 +72,10 @@ def select_axis(v, k):
 
 
 def dot(a, b, keepdims: bool = False):
-    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+    # component form, not jnp.sum(a*b, -1): see sum_last
+    a, b = jnp.broadcast_arrays(a, b)
+    s = sum_last(a * b)
+    return s[..., None] if keepdims else s
 
 
 def cross(a, b):
@@ -108,13 +145,20 @@ def make_frame(n, t):
 
 
 def to_frame(frame, v):
-    """World/render -> tangent space: rows-as-basis matmul."""
-    return jnp.einsum("...ij,...j->...i", frame, v)
+    """World/render -> tangent space: rows-as-basis matmul.
+
+    Component form (see sum_last): the einsum's 3-wide contraction lowers
+    to slow cross-lane reduces on TPU."""
+    comps = [sum(frame[..., i, k] * v[..., k] for k in range(3))
+             for i in range(3)]
+    return jnp.stack(comps, axis=-1)
 
 
 def from_frame(frame, v):
     """Tangent -> world/render (transpose = inverse for rotations)."""
-    return jnp.einsum("...ji,...j->...i", frame, v)
+    comps = [sum(frame[..., j, i] * v[..., j] for j in range(3))
+             for i in range(3)]
+    return jnp.stack(comps, axis=-1)
 
 
 def frame_from_normal_map(n_shading, t, n_map):
@@ -350,8 +394,8 @@ def intersect_aabb(ray_o, inv_d, bmin, bmax, t_max):
     t1 = (bmax - ray_o) * inv_d
     t_near = jnp.minimum(t0, t1)
     t_far = jnp.maximum(t0, t1)
-    tn = jnp.max(t_near, axis=-1)
-    tf = jnp.min(t_far, axis=-1)
+    tn = max_last(t_near)
+    tf = -max_last(-t_far)
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max)
     return tn, hit
 
