@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=16)
     ap.add_argument("--table-res", type=int, default=64,
                     help="rgb2spec table resolution (32 for fast CPU runs)")
+    ap.add_argument("--gamut", default="srgb",
+                    help="output color space (srgb, display_p3, adobe_rgb, "
+                         "rec709, rec2020, aces_cg, aces_2065_1)")
+    ap.add_argument("--eotf", default="srgb",
+                    help="output transfer function")
     ap.add_argument("-o", "--output", default="output.png")
     args = ap.parse_args(argv)
 
@@ -44,7 +49,8 @@ def main(argv=None):
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, strategy=args.renderer,
-                       sampler=args.sampler, seed=args.seed)
+                       sampler=args.sampler, seed=args.seed,
+                       gamut=args.gamut, eotf=args.eotf)
     t0 = time.time()
     img = np.asarray(render(scene, meta, cam, cfg))
     dt = time.time() - t0

@@ -22,24 +22,18 @@ __all__ = [
 ]
 
 
-def _apply_3x3(m, v):
-    """v (..., 3) @ m.T in component form — a (.., 3) x (3, 3) contraction
-    lowers to a slow cross-lane reduce / tiny matmul on TPU."""
-    return jnp.stack(
-        [sum(float(m[i][j]) * v[..., j] for j in range(3)) for i in range(3)],
-        axis=-1)
-
-
 def xyz_to_rgb(xyz, gamut: Gamut):
     """XYZ -> linear RGB in ``gamut`` (ref: color/src/color.rs:26-33)."""
-    import numpy as _np
-    return _apply_3x3(_np.asarray(gamut.xyz_to_rgb), jnp.asarray(xyz))
+    xyz = jnp.asarray(xyz)
+    m = jnp.asarray(gamut.xyz_to_rgb, dtype=xyz.dtype)
+    return xyz @ m.T
 
 
 def rgb_to_xyz(rgb, gamut: Gamut):
     """linear RGB in ``gamut`` -> XYZ."""
-    import numpy as _np
-    return _apply_3x3(_np.asarray(gamut.rgb_to_xyz), jnp.asarray(rgb))
+    rgb = jnp.asarray(rgb)
+    m = jnp.asarray(gamut.rgb_to_xyz, dtype=rgb.dtype)
+    return rgb @ m.T
 
 
 def convert_gamut(rgb, src: Gamut, dst: Gamut):

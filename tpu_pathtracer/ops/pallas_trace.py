@@ -194,12 +194,18 @@ def _block_test_fast(tri_m_ref, blk, rays, best_t, n_real: int):
     false -> no hit.
     """
     cols = tri_m_ref[:, pl.ds(blk * (3 * BLOCK), 3 * BLOCK)]   # (4, 3B)
+    # HIGHEST precision: the default TPU matmul truncates f32 operands to
+    # bf16 (7-bit mantissa) — transform offsets then wipe out the hit
+    # coordinates and paths die at the first bounce (observed: rays/spp
+    # dropped 3.5x on chip while exact CPU interpret tests stayed green)
     oc = jax.lax.dot_general(rays[:, 0:4], cols,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     dc = jax.lax.dot_general(rays[:, 4:8], cols,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     o_u, o_v, o_w = oc[:, :BLOCK], oc[:, BLOCK:2 * BLOCK], oc[:, 2 * BLOCK:]
     d_u, d_v, d_w = dc[:, :BLOCK], dc[:, BLOCK:2 * BLOCK], dc[:, 2 * BLOCK:]
     t = -o_w / d_w
@@ -209,6 +215,10 @@ def _block_test_fast(tri_m_ref, blk, rays, best_t, n_real: int):
            & (t > 1e-6) & (t < best_t))
     lane = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
     hit = hit & (blk * BLOCK + lane < n_real)
+    # zero non-hit lanes: NaNs from degenerate/parallel lanes would
+    # otherwise poison the caller's pick-sum (NaN * 0 == NaN)
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
     return t, u, v, hit
 
 

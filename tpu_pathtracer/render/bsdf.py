@@ -30,8 +30,7 @@ from ..scene.types import (MAT_CLEARCOAT, MAT_EMISSIVE, MAT_GLASS,
 from ..spectrum import grid as sgrid
 from ..spectrum import rgb2spec
 from ..spectrum.sampled import SampledWavelengths
-from ..utils.math import (dot, from_frame, make_frame, mean_last,
-                          normalize, to_frame)
+from ..utils.math import dot, from_frame, make_frame, normalize, to_frame
 from . import texture as tex_mod
 
 INV_PI = 1.0 / math.pi
@@ -272,7 +271,7 @@ def _dielectric_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
                       jnp.asarray([0.0, 0.0, 1.0]),
                       jnp.asarray([0.0, 0.0, -1.0])) * jnp.ones((r, 1))
     fres_s = mf.fresnel_dielectric(jnp.abs(wo[:, 2]), eta_rel)
-    avg_f_s = mean_last(fres_s)
+    avg_f_s = jnp.mean(fres_s, -1)
     pr_s, pt_s = _refl_trans_probs(avg_f_s, thin)
     choose_refl_s = uc < pr_s / jnp.maximum(pr_s + pt_s, 1e-12)
     wi_refl = wo * jnp.asarray([-1.0, -1.0, 1.0])
@@ -293,7 +292,7 @@ def _dielectric_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
     # ---- rough path (dielectric.rs:236-412) ------------------------------
     wm = mf.sample_vndf(wo, uv2, alpha, alpha)
     fres_m = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
-    avg_f_m = mean_last(fres_m)
+    avg_f_m = jnp.mean(fres_m, -1)
     pr_m, pt_m = _refl_trans_probs(avg_f_m, thin)
     choose_refl_m = uc < pr_m / jnp.maximum(pr_m + pt_m, 1e-12)
 
@@ -406,7 +405,7 @@ def _dielectric_eval(scene, it, wo_t, wi_t, wl, nm_frame, dispersive: bool,
     ok = ok & (dot(wm, wi) * cos_i >= 0.0) & (dot(wm, wo) * cos_o >= 0.0)
 
     fres = mf.fresnel_dielectric(jnp.abs(dot(wo, wm)), eta_rel)
-    avg_f = mean_last(fres)
+    avg_f = jnp.mean(fres, -1)
     pr, pt = _refl_trans_probs(avg_f, thin)
     d = mf.distribution_d(wm, alpha, alpha)
     g = mf.g2(wo, wi, alpha, alpha)
@@ -526,10 +525,17 @@ def _one(x):
     return jnp.ones_like(x)
 
 
-def _pbr_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
+def _pbr_sample(scene, it, wo_t, uc, uc2, uv2, wl, nm_frame,
                 alpha=None, params=None):
     """sample_mixed (simple_pbr_material.rs:379-409): uc<=metallic -> metal
-    lobe; else dielectric with Fresnel-weighted specular/diffuse choice."""
+    lobe; else dielectric with Fresnel-weighted specular/diffuse choice.
+
+    uc / uc2 are SEPARATE sampler dimensions for the two sequential
+    decisions (metal-vs-dielectric, then specular-vs-diffuse) — the
+    reference draws fresh dims per decision via its stateful sampler;
+    remapping one dim loses low-discrepancy stratification.  The 2-D lobe
+    sample uv2 is shared across the three MUTUALLY EXCLUSIVE lobes (only
+    the picked lobe's value is consumed, so no correlation enters)."""
     wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
     base, metallic, alpha_p, r0_diel = params or _pbr_params(scene, it, wl)
     if alpha is None:
@@ -537,14 +543,13 @@ def _pbr_sample(scene, it, wo_t, uc, uv2, wl, nm_frame,
     one = jnp.ones_like(base)
 
     pick_metal = uc <= metallic
-    uc_d = jnp.clip((uc - metallic) / jnp.maximum(1.0 - metallic, 1e-8), 0.0, 1.0)
 
     # metal lobe: r0 = base color (:280-296)
     f_m, wi_m, pdf_m, ok_m, spec_m = _schlick_r_sample(wo, uv2, alpha,
                                                        base, one, one)
     # dielectric: specular with prob F̄(wo) else diffuse (:313-376)
-    fbar = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one))
-    pick_spec = uc_d < fbar
+    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
+    pick_spec = uc2 < fbar
     f_s, wi_s, pdf_s, ok_s, spec_s = _schlick_r_sample(wo, uv2, alpha,
                                                        r0_diel, one, one)
     pdf_s = pdf_s * fbar
@@ -584,7 +589,7 @@ def _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame, alpha=None, params=None):
 
     f_metal, pdf_metal = _schlick_r_eval(wo, wi, alpha, base, one, one)
     f_spec, pdf_spec = _schlick_r_eval(wo, wi, alpha, r0_diel, one, one)
-    fbar = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one))
+    fbar = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), r0_diel, one, 5.0, one), -1)
     # lambert component
     cos_o, cos_i = wo[:, 2], wi[:, 2]
     same = (jnp.sign(cos_o) == jnp.sign(cos_i)) & (cos_o != 0.0) & (cos_i != 0.0)
@@ -628,7 +633,7 @@ def _beer_lambert(tint, thickness_mm, cos_theta):
     return jnp.exp(-sigma * l)
 
 
-def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
+def _clearcoat_sample(scene, it, wo_t, uc, uc2, uc3, uv2, wl, nm_frame):
     """Coat-vs-substrate choice by the coat's directional albedo.
 
     Deviation (documented): the reference estimates the coat albedo with a
@@ -636,6 +641,10 @@ def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
     (generalized_schlick.rs:893-918) — a determinism and grad hazard; we use
     the analytic Schlick Fresnel at wo, exact for smooth coats and a close
     approximation for the rough coats in scenes 17-18.
+
+    Each sequential decision draws its own sampler dimension: uc picks
+    coat vs substrate, uc2 the substrate's metal lobe, uc3 its
+    specular-vs-diffuse split (no conditioned-remap reuse).
     """
     wo = to_frame(nm_frame, wo_t) if nm_frame is not None else wo_t
     r = wo.shape[0]
@@ -643,7 +652,7 @@ def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
     thickness, coat_alpha, coat_r0, tint = _coat_params(scene, it, wl)
     params = _pbr_params(scene, it, wl)
 
-    e_coat = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one))
+    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
     has_coat = thickness > 0.0
     e_coat = jnp.where(has_coat, e_coat, 0.0)
     pick_coat = uc < e_coat
@@ -652,9 +661,8 @@ def _clearcoat_sample(scene, it, wo_t, uc, uv2, wl, nm_frame):
                                                        coat_r0, one, one)
     pdf_c = pdf_c * e_coat
 
-    uc_sub = jnp.clip((uc - e_coat) / jnp.maximum(1.0 - e_coat, 1e-8), 0.0, 1.0)
-    f_b, wi_b_t, pdf_b, ok_b, spec_b = _pbr_sample(scene, it, wo_t, uc_sub,
-                                                   uv2, wl, nm_frame,
+    f_b, wi_b_t, pdf_b, ok_b, spec_b = _pbr_sample(scene, it, wo_t, uc2,
+                                                   uc3, uv2, wl, nm_frame,
                                                    params=params)
     wi_b = to_frame(nm_frame, wi_b_t) if nm_frame is not None else wi_b_t
     att = _beer_lambert(tint, thickness, jnp.abs(wo[:, 2])) * \
@@ -682,7 +690,7 @@ def _clearcoat_eval(scene, it, wo_t, wi_t, wl, nm_frame):
     has_coat = thickness > 0.0
 
     f_c, pdf_c = _schlick_r_eval(wo, wi, coat_alpha, coat_r0, one, one)
-    e_coat = mean_last(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one))
+    e_coat = jnp.mean(_schlick_fresnel(jnp.abs(wo[:, 2]), coat_r0, one, 5.0, one), -1)
     e_coat = jnp.where(has_coat, e_coat, 0.0)
 
     f_b, pdf_b = _pbr_eval(scene, it, wo_t, wi_t, wl, nm_frame)
@@ -710,12 +718,21 @@ def _geo_sidedness(it, frame, wo_t, wi_t):
 
 
 def sample_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
-                    uc, uv2, wl) -> MaterialSample:
+                    uc, uv2, wl, uc2=None, uc3=None) -> MaterialSample:
     """Batched BsdfSurfaceMaterial::sample over all rays.
 
     frame: (R, 3, 3) render->vertex-tangent rotation (rows t, b, n).
+    uc / uc2 / uc3: independent 1-D draws for up to three SEQUENTIAL lobe
+    decisions (mirrors the reference's fresh-dimension-per-decision
+    stateful sampler).  The integrator passes real sampler dims; when a
+    caller omits uc2/uc3 (unit tests), decorrelated golden-ratio rotations
+    of uc stand in.
     """
     r = wo_t.shape[0]
+    if uc2 is None:
+        uc2 = (uc + 0.3819660) % 1.0
+    if uc3 is None:
+        uc3 = (uc + 0.6180340) % 1.0
     mat_type = scene.materials.mat_type[it.mat_id]
     nm_frame = _normal_map_frame(scene, it, wo_t)
 
@@ -757,12 +774,13 @@ def sample_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
             tinted=True)
         merge(mat_type == MAT_PLASTIC, pf, pwi, ppdf, pok, pspec)
     if MAT_PBR in kinds:
-        bf, bwi, bpdf, bok, bspec = _pbr_sample(scene, it, wo_t, uc, uv2, wl,
-                                                nm_frame)
+        bf, bwi, bpdf, bok, bspec = _pbr_sample(scene, it, wo_t, uc, uc2,
+                                                uv2, wl, nm_frame)
         merge(mat_type == MAT_PBR, bf, bwi, bpdf, bok, bspec)
     if MAT_CLEARCOAT in kinds:
         cf, cwi, cpdf, cok, cspec = _clearcoat_sample(scene, it, wo_t, uc,
-                                                      uv2, wl, nm_frame)
+                                                      uc2, uc3, uv2, wl,
+                                                      nm_frame)
         merge(mat_type == MAT_CLEARCOAT, cf, cwi, cpdf, cok, cspec)
 
     # dispersion collapse (dielectric.rs:500-502)

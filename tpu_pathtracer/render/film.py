@@ -63,11 +63,7 @@ def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
         cmf_vals = grid.eval_dense(cmf, wl.lam)          # (R, 4, 3)
     inv_pdf = jnp.where(wl.pdf > 0.0, 1.0 / jnp.where(wl.pdf > 0.0, wl.pdf, 1.0), 0.0)
     w = contribution * inv_pdf / 4.0                     # (R, 4)
-    # component form, not einsum: the 4-wide contraction lowers to a slow
-    # cross-lane reduce fusion on TPU (utils.math.sum_last rationale)
-    xyz = jnp.stack(
-        [sum(w[:, l] * cmf_vals[:, l, c] for l in range(w.shape[1]))
-         for c in range(3)], axis=-1)
+    xyz = jnp.einsum("rl,rlc->rc", w, cmf_vals)
     rgb = color.xyz_to_rgb(xyz, gamut)
     return rgb * exposure
 

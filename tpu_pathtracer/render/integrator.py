@@ -21,8 +21,11 @@ Bookkeeping matches the reference exactly per ray:
 Sampler dimension layout (lockstep across rays; each bounce consumes a
 fixed window so Sobol dims are deterministic per (pixel, sample)):
   dim 0: hero-wavelength u;  dims 1-2: film uv;
-  per bounce b: base = 3 + 8*b — uc, uv2 (2), nee light u, nee s,
-  nee uv (2), russian roulette.
+  per bounce b: base = 3 + 10*b —
+    +0 uc (primary lobe decision), +1..2 uv2 (lobe 2-D, shared across
+    mutually exclusive lobes), +3 uc2 / +4 uc3 (second/third sequential
+    lobe decisions: pbr spec-vs-diffuse, clearcoat substrate choices),
+    +5 nee light u, +6 nee s, +7..8 nee uv, +9 russian roulette.
 """
 from __future__ import annotations
 
@@ -46,7 +49,7 @@ from .sampler import make_sampler
 from .surface import make_interaction
 
 RAY_EPS = 1.0e-5   # base_renderer.rs:34
-DIMS_PER_BOUNCE = 8
+DIMS_PER_BOUNCE = 10
 BIG_T = 3.0e38
 
 
@@ -62,12 +65,18 @@ class RenderConfig:
     exposure: float = 1.0
     tone_map: str = "reinhard"     # matches main.rs:191-222
     eotf: str = "srgb"
+    gamut: str = "srgb"            # output color space (ref Sensor<G,T,E>)
     # film tiling: max rays in flight per wavefront (bounds HBM footprint;
     # large frames render as a sequential lax.map over pixel tiles)
     tile_rays: int = 1 << 18
     # forward-only renders stop bouncing once every ray is dead (while_loop);
     # the differentiable pass sets False to keep the loop reverse-mode safe
     early_exit: bool = True
+
+
+def _out_gamut(cfg):
+    from .. import color
+    return color.by_name(cfg.gamut)
 
 
 def _spectral_table(scene):
@@ -151,7 +160,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         d65 = wl.bank[..., 3]        # D65 is scene-spectra row 0
         aov = jnp.where((it.valid & bsdf_mod.is_bsdf_material(scene, it))[:, None],
                         alb * d65, 0.0)
-        return film_mod.spectral_to_rgb(aov, wl, exposure=cfg.exposure)
+        return film_mod.spectral_to_rgb(aov, wl, gamut=_out_gamut(cfg),
+                                        exposure=cfg.exposure)
     if strategy == "normal":
         # normal AOV handled in rgb directly (normal_renderer.rs:14-76)
         n = jnp.where(it.valid[:, None], it.shading_n * 0.5 + 0.5, 0.0)
@@ -173,14 +183,17 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
 
         uc = sampler.get_1d(pixel_xy, sample_idx, base)
         uv2 = sampler.get_2d(pixel_xy, sample_idx, base + 1)
-        ms = bsdf_mod.sample_material(scene, meta, it, frame, wo_t, uc, uv2, wl)
+        uc2 = sampler.get_1d(pixel_xy, sample_idx, base + 3)
+        uc3 = sampler.get_1d(pixel_xy, sample_idx, base + 4)
+        ms = bsdf_mod.sample_material(scene, meta, it, frame, wo_t, uc, uv2,
+                                      wl, uc2=uc2, uc3=uc3)
         wl = ms.wl
 
         # --- NEE at non-specular vertices (base_renderer.rs:218-228) ------
         if strategy in ("nee", "mis"):
-            u_light = sampler.get_1d(pixel_xy, sample_idx, base + 3)
-            u_s = sampler.get_1d(pixel_xy, sample_idx, base + 4)
-            u_uv = sampler.get_2d(pixel_xy, sample_idx, base + 5)
+            u_light = sampler.get_1d(pixel_xy, sample_idx, base + 5)
+            u_s = sampler.get_1d(pixel_xy, sample_idx, base + 6)
+            u_uv = sampler.get_2d(pixel_xy, sample_idx, base + 7)
             nee_it = it._replace(valid=alive & ms.sampled & ~ms.specular)
             nee = lights_mod.evaluate_nee(scene, meta, nee_it, frame, wo_t, wl,
                                           u_light, u_s, u_uv,
@@ -238,7 +251,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
 
         # --- Russian roulette (base_renderer.rs:76-92) --------------------
         p_rr = swl.max_value(throughput)
-        u_rr = sampler.get_1d(pixel_xy, sample_idx, base + 7)
+        u_rr = sampler.get_1d(pixel_xy, sample_idx, base + 9)
         survive = (p_rr >= 1.0) | (u_rr < p_rr)
         throughput = jnp.where((p_rr < 1.0)[:, None],
                                throughput / jnp.maximum(p_rr, 1e-12)[:, None],
@@ -266,6 +279,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth, bounce, state)
     rgb = film_mod.spectral_to_rgb(state["radiance"], state["wl"],
+                                   gamut=_out_gamut(cfg),
                                    exposure=cfg.exposure)
     if with_ray_count:
         return rgb, state["n_rays"]
@@ -513,13 +527,16 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     base = 3 + DIMS_PER_BOUNCE * depth                 # per-lane dim window
     uc = sampler.get_1d(px, sample, base)
     uv2 = sampler.get_2d(px, sample, base + 1)
-    ms = bsdf_mod.sample_material(scene, meta, it, frame, wo_t, uc, uv2, wl)
+    uc2 = sampler.get_1d(px, sample, base + 3)
+    uc3 = sampler.get_1d(px, sample, base + 4)
+    ms = bsdf_mod.sample_material(scene, meta, it, frame, wo_t, uc, uv2, wl,
+                                  uc2=uc2, uc3=uc3)
     wl = ms.wl
 
     if strategy in ("nee", "mis"):
-        u_light = sampler.get_1d(px, sample, base + 3)
-        u_s = sampler.get_1d(px, sample, base + 4)
-        u_uv = sampler.get_2d(px, sample, base + 5)
+        u_light = sampler.get_1d(px, sample, base + 5)
+        u_s = sampler.get_1d(px, sample, base + 6)
+        u_uv = sampler.get_2d(px, sample, base + 7)
         nee_it = it._replace(valid=alive & ms.sampled & ~ms.specular)
         nee = lights_mod.evaluate_nee(scene, meta, nee_it, frame, wo_t, wl,
                                       u_light, u_s, u_uv,
@@ -542,7 +559,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     # only to the carried throughput (NEE + later bounces), never to the
     # next hit's own Le — that uses new_thr_emit
     p_rr = swl.max_value(new_thr_emit)
-    u_rr = sampler.get_1d(px, sample, base + 7)
+    u_rr = sampler.get_1d(px, sample, base + 9)
     survive = (p_rr >= 1.0) | (u_rr < p_rr)
     new_thr = jnp.where((p_rr < 1.0)[:, None],
                         new_thr_emit / jnp.maximum(p_rr, 1e-12)[:, None],
@@ -552,7 +569,8 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     # ---- lane bookkeeping -----------------------------------------------
     new_tracing = cont
     finalize = tracing & ~new_tracing
-    rgb = film_mod.spectral_to_rgb(radiance, wl, exposure=cfg.exposure)
+    rgb = film_mod.spectral_to_rgb(radiance, wl, gamut=_out_gamut(cfg),
+                                   exposure=cfg.exposure)
     accum = s["accum"] + jnp.where(finalize[:, None], rgb, 0.0)
 
     nt = new_tracing[:, None]

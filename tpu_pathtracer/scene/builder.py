@@ -43,18 +43,41 @@ from .types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV, LIGHT_POINT,
 class Texture:
     """An image parameter (ref: scene/src/texture/*).
 
-    data: (H, W, C) float array, already linear (the loader linearizes
-    sRGB-encoded images once at load — the reference EOTF-inverts per lookup,
-    rgb_texture.rs:48-66, which is wasted work per sample).
+    data: (H, W, C) float array.
     kind: "rgb" | "gray" | "normal".
+    gamut / eotf: the COLOR METADATA of an rgb texture (ref
+    TypedRgbTexture<G, E>, scene/src/texture/rgb_texture.rs:18-281).  The
+    reference EOTF-inverts and gamut-types per texel LOOKUP (:48-66); here
+    the scene compiler decodes the EOTF and converts to the scene's working
+    gamut ONCE at build — pointwise per texel, so semantically identical
+    and free at render time.  eotf="linear" means data is already linear.
+    gray textures honor eotf only; normal maps ignore both.
     """
     data: np.ndarray
     kind: str = "rgb"
+    gamut: str = "srgb"
+    eotf: str = "linear"
 
     def __post_init__(self):
         self.data = np.asarray(self.data, np.float32)
         if self.data.ndim == 2:
             self.data = self.data[..., None]
+
+    def decoded(self, scene_gamut) -> np.ndarray:
+        """Linear data in the scene's working gamut (host-side, once)."""
+        from .. import color as color_mod
+        from ..color import eotf as eotf_mod
+        import numpy as _np
+        data = self.data
+        if self.kind == "normal":
+            return data
+        if self.eotf != "linear":
+            data = _np.asarray(eotf_mod.decode(data, self.eotf), _np.float32)
+        if self.kind == "rgb" and self.gamut != scene_gamut.name:
+            data = _np.asarray(color_mod.convert_gamut(
+                data, color_mod.by_name(self.gamut), scene_gamut),
+                _np.float32)
+        return data
 
 
 RGB = Tuple[float, float, float]
@@ -143,8 +166,14 @@ _METAL_KINDS = {"gold": "au", "silver": "ag", "copper": "cu",
 # ---------------------------------------------------------------------------
 
 class SceneBuilder:
-    def __init__(self, table_res: int = 64):
+    def __init__(self, table_res: int = 64, gamut: str = "srgb"):
+        """``gamut``: the scene's working color space — material RGB values
+        and (after conversion) textures are interpreted in it, and the
+        RGB->spectrum table is fitted for it (ref ships 8 per-gamut table
+        blobs, rgb_to_spec/src/lib.rs:1-32)."""
+        from ..color import by_name as _gamut_by_name
         self.table_res = table_res
+        self.gamut = _gamut_by_name(gamut)
         self._materials: List[MaterialDesc] = []
         self._meshes: List[Tuple[Mesh, int]] = []          # (mesh in world space, mat_id)
         self._delta_lights: List[dict] = []
@@ -236,7 +265,7 @@ class SceneBuilder:
         raise TypeError(f"bad spectrum {type(spectrum)}")
 
     def _table(self):
-        return rgb2spec.get_table("srgb", res=self.table_res)
+        return rgb2spec.get_table(self.gamut.name, res=self.table_res)
 
     def _rgb_to_illum_dense(self, rgb: np.ndarray) -> np.ndarray:
         import jax
@@ -547,7 +576,8 @@ class SceneBuilder:
             area_tri=jnp.asarray(np.asarray(area_tri, np.int32).reshape(-1)),
             area_tri_area=jnp.asarray(np.asarray(area_area, np.float32).reshape(-1)),
             area_tri_cdf=jnp.asarray(np.asarray(area_cdf, np.float32).reshape(-1)),
-            textures=tuple(jnp.asarray(t.data) for t in self._textures),
+            textures=tuple(jnp.asarray(t.decoded(self.gamut))
+                           for t in self._textures),
             env=env,
             world_radius=jnp.asarray(world_radius, jnp.float32),
             rs_zn=jnp.asarray(zn),

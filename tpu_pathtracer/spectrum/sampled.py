@@ -85,11 +85,9 @@ def safe_div(a, b):
 
 def average(s):
     """Mean over the 4 lanes (ref ``SampledSpectrum::average``)."""
-    from ..utils.math import mean_last
-    return mean_last(s)
+    return jnp.mean(s, axis=-1)
 
 
 def max_value(s):
     """Max over the 4 lanes (ref ``SampledSpectrum::max_value``)."""
-    from ..utils.math import max_last
-    return max_last(s)
+    return jnp.max(s, axis=-1)

@@ -72,10 +72,7 @@ def select_axis(v, k):
 
 
 def dot(a, b, keepdims: bool = False):
-    # component form, not jnp.sum(a*b, -1): see sum_last
-    a, b = jnp.broadcast_arrays(a, b)
-    s = sum_last(a * b)
-    return s[..., None] if keepdims else s
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
 
 def cross(a, b):
@@ -145,20 +142,13 @@ def make_frame(n, t):
 
 
 def to_frame(frame, v):
-    """World/render -> tangent space: rows-as-basis matmul.
-
-    Component form (see sum_last): the einsum's 3-wide contraction lowers
-    to slow cross-lane reduces on TPU."""
-    comps = [sum(frame[..., i, k] * v[..., k] for k in range(3))
-             for i in range(3)]
-    return jnp.stack(comps, axis=-1)
+    """World/render -> tangent space: rows-as-basis matmul."""
+    return jnp.einsum("...ij,...j->...i", frame, v)
 
 
 def from_frame(frame, v):
     """Tangent -> world/render (transpose = inverse for rotations)."""
-    comps = [sum(frame[..., j, i] * v[..., j] for j in range(3))
-             for i in range(3)]
-    return jnp.stack(comps, axis=-1)
+    return jnp.einsum("...ji,...j->...i", frame, v)
 
 
 def frame_from_normal_map(n_shading, t, n_map):
@@ -394,8 +384,8 @@ def intersect_aabb(ray_o, inv_d, bmin, bmax, t_max):
     t1 = (bmax - ray_o) * inv_d
     t_near = jnp.minimum(t0, t1)
     t_far = jnp.maximum(t0, t1)
-    tn = max_last(t_near)
-    tf = -max_last(-t_far)
+    tn = jnp.max(t_near, axis=-1)
+    tf = jnp.min(t_far, axis=-1)
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max)
     return tn, hit
 
