@@ -173,3 +173,52 @@ def test_pallas_anyhit_matches_bvh_interpret():
     op = pallas_trace.traverse(arrs, o, d, tmax, active=act, any_hit=True,
                                interpret=True, precise=True)
     assert (np.asarray(ob) == np.asarray(op)).all()
+
+
+def test_pallas_chunked_traversal_matches_bvh():
+    """Scenes past MAX_DENSE_TRIS trace as a sequence of VMEM-sized chunk
+    traversals with the running best-t forwarded (ops/trace.py
+    _pallas_chunked) — no gather-path cliff at any scene size (VERDICT r3
+    item 7).  Forced here by shrinking the cap so the bunny scene spans
+    many chunks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_pathtracer.ops import trace
+    from tpu_pathtracer.scenes import load_scene
+
+    scene, meta, cam = load_scene(0, 32, 24, table_res=16)
+    arrs = scene.bvh
+    rng = np.random.default_rng(5)
+    n = 256
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    act = jnp.asarray(rng.uniform(size=n) > 0.1)
+
+    ref = trace._dispatch("bvh", arrs, o, d, jnp.asarray(3e38), act,
+                          any_hit=False)
+    occ_ref = trace._dispatch("bvh", arrs, o, d, jnp.asarray(2.0), act,
+                              any_hit=True).hit
+
+    old_cap = trace.MAX_DENSE_TRIS
+    try:
+        trace.MAX_DENSE_TRIS = 1024      # bunny (~9k tris) -> ~10 chunks
+        got = trace._pallas_chunked(arrs, o, d, jnp.asarray(3e38), act,
+                                    any_hit=False, interpret=True)
+        occ = trace._pallas_chunked(arrs, o, d, jnp.asarray(2.0), act,
+                                    any_hit=True, interpret=True).hit
+    finally:
+        trace.MAX_DENSE_TRIS = old_cap
+
+    hit_ref = np.asarray(ref.hit)
+    hit_got = np.asarray(got.hit)
+    agree = (hit_ref == hit_got).mean()
+    assert agree > 0.995, f"hit agreement {agree}"
+    both = hit_ref & hit_got
+    t_err = np.abs(np.asarray(ref.t)[both] - np.asarray(got.t)[both])
+    assert np.percentile(t_err / np.maximum(np.asarray(ref.t)[both], 1e-3),
+                         99) < 1e-3
+    assert (np.asarray(ref.tri)[both] == np.asarray(got.tri)[both]).mean() \
+        > 0.99
+    assert (np.asarray(occ_ref) == np.asarray(occ)).mean() > 0.995
