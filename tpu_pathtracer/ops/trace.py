@@ -486,6 +486,13 @@ def intersect(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T, active=None,
     method: "bvh" (stack while_loop), "brute" (dense blocks, XLA),
     "pallas" (dense blocks, VMEM-resident kernel) or None = auto: BVH on
     CPU, dense on accelerators (override with env TPT_TRAVERSAL).
+
+    Precision note: the production pallas path uses plain-f32 hit tests
+    (the MXU unit-triangle transform form); exact-sign watertight edge
+    semantics (Dekker-compensated shear test, matching this module's
+    ``intersect_triangle`` and the reference's f64 fallback) are opt-in
+    via TPT_PRECISE_TRACE=1 — they cost ~3x and the statistical
+    agreement gate in tests/test_bvh.py bounds the default's deviation.
     """
     return _intersect_detached(method or _pick_method(bvh), bvh, ray_o,
                                ray_d, jnp.asarray(t_max),
