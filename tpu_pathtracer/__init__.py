@@ -22,6 +22,30 @@ Design stance (vs. the per-ray, trait-object reference design):
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (measured: the wavefront step's
+    ~60-160 s compile drops to seconds on every process after the first —
+    works through the tunneled TPU plugin too).  Opt out / relocate with
+    TPT_COMPILE_CACHE ("" disables)."""
+    import os
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "jax_compile")
+    path = os.environ.get("TPT_COMPILE_CACHE", default)
+    if not path:
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 N_SPECTRUM_SAMPLES = 4  # hero wavelengths per path (ref: spectrum/src/sampled_spectrum.rs:11)
 LAMBDA_MIN = 360.0      # nm (ref: spectrum/src/spectrum.rs:27-29)
 LAMBDA_MAX = 830.0
