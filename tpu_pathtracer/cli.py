@@ -33,6 +33,10 @@ def main(argv=None):
                          "rec709, rec2020, aces_cg, aces_2065_1)")
     ap.add_argument("--eotf", default="srgb",
                     help="output transfer function")
+    ap.add_argument("--precise", action="store_true",
+                    help="exact-sign watertight traversal (~3x hit-test "
+                         "cost; default is the statistically-gated fast "
+                         "path)")
     ap.add_argument("-o", "--output", default="output.png")
     args = ap.parse_args(argv)
 
@@ -50,7 +54,8 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, strategy=args.renderer,
                        sampler=args.sampler, seed=args.seed,
-                       gamut=args.gamut, eotf=args.eotf)
+                       gamut=args.gamut, eotf=args.eotf,
+                       precise=True if args.precise else None)
     t0 = time.time()
     img = np.asarray(render(scene, meta, cam, cfg))
     dt = time.time() - t0

@@ -339,6 +339,17 @@ MAX_DENSE_TRIS = 1 << 18
 
 _FORCED_METHOD = os.environ.get("TPT_TRAVERSAL")  # bvh | brute | pallas
 
+# Trace-time watertightness override (RenderConfig.precise).  Set by the
+# integrator at the top of each traced render function; because the config
+# is a static jit argument, a changed value always forces a retrace that
+# re-reads this.  None defers to the TPT_PRECISE_TRACE env default.
+_PRECISE_OVERRIDE: bool | None = None
+
+
+def set_precise(v: bool | None) -> None:
+    global _PRECISE_OVERRIDE
+    _PRECISE_OVERRIDE = v
+
 
 def _pick_method(bvh: BVHArrays) -> str:
     if _FORCED_METHOD:
@@ -402,6 +413,7 @@ def _pallas_chunked(bvh: BVHArrays, ray_o, ray_d, t_max, active,
             occ = occ | pallas_trace.traverse(sub, ray_o, ray_d, t_max,
                                               active=act, any_hit=True,
                                               sort=False,
+                                              precise=_PRECISE_OVERRIDE,
                                               interpret=interpret)
         zero = jnp.zeros((r,), ray_o.dtype)
         return Hit(t=jnp.where(occ, zero, BIG_T),
@@ -413,7 +425,9 @@ def _pallas_chunked(bvh: BVHArrays, ray_o, ray_d, t_max, active,
     for b0 in range(0, c, cap):
         sub = bvh if c <= cap else _chunk_view(bvh, b0, min(c, b0 + cap))
         h = pallas_trace.traverse(sub, ray_o, ray_d, t_bound,
-                                  active=active, interpret=interpret)
+                                  active=active,
+                                  precise=_PRECISE_OVERRIDE,
+                                  interpret=interpret)
         if best is None:
             best = h._replace(tri=jnp.where(h.hit, h.tri + b0 * BLOCK, -1))
         else:
@@ -423,7 +437,9 @@ def _pallas_chunked(bvh: BVHArrays, ray_o, ray_d, t_max, active,
                        b1=jnp.where(better, h.b1, best.b1),
                        b2=jnp.where(better, h.b2, best.b2),
                        hit=best.hit | better)
-        t_bound = best.t
+        # missing rays carry t = BIG_T; clamp to the caller's bound so a
+        # later chunk cannot report a hit beyond the original finite t_max
+        t_bound = jnp.minimum(best.t, t_bound)
     return best
 
 

@@ -111,6 +111,19 @@ def _roughness(scene: SceneData, it) -> jnp.ndarray:
     return rough
 
 
+def _hash_unit(u, salt: int):
+    """Decorrelated uniform derived from the BITS of u (fallback when a
+    caller omits the uc2/uc3 sampler dims).  Unlike a golden-ratio rotation
+    of u — which stays deterministic in u, so conditioning on the first
+    lobe decision (u <= p) skews the follow-up decision — a bit-avalanche
+    hash is uniform conditioned on any interval of u at these scales."""
+    import jax
+    from ..render.sampler import _fmix32
+    bits = jax.lax.bitcast_convert_type(u.astype(jnp.float32), jnp.uint32)
+    h = _fmix32(bits ^ jnp.uint32(salt))
+    return h.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+
+
 def sample_cosine_hemisphere(uv):
     """(R, 2) -> (R, 3) cosine-weighted +Z hemisphere (bsdf/lambert.rs:12-17)."""
     r = jnp.sqrt(uv[:, 0])
@@ -730,9 +743,9 @@ def sample_material(scene: SceneData, meta: SceneMeta, it, frame, wo_t,
     """
     r = wo_t.shape[0]
     if uc2 is None:
-        uc2 = (uc + 0.3819660) % 1.0
+        uc2 = _hash_unit(uc, 0x9E3779B9)
     if uc3 is None:
-        uc3 = (uc + 0.6180340) % 1.0
+        uc3 = _hash_unit(uc, 0x85EBCA6B)
     mat_type = scene.materials.mat_type[it.mat_id]
     nm_frame = _normal_map_frame(scene, it, wo_t)
 

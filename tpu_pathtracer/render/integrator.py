@@ -72,6 +72,11 @@ class RenderConfig:
     # forward-only renders stop bouncing once every ray is dead (while_loop);
     # the differentiable pass sets False to keep the loop reverse-mode safe
     early_exit: bool = True
+    # exact-sign (Dekker-compensated) watertight traversal in the pallas
+    # kernel (~3x the hit-test flops).  None defers to the
+    # TPT_PRECISE_TRACE env default; the fast default's deviation is
+    # bounded by the statistical agreement gate in tests/test_bvh.py
+    precise: bool | None = None
 
 
 def _out_gamut(cfg):
@@ -131,6 +136,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     """
     r = pixel_xy.shape[0]
     strategy = cfg.strategy
+    trace.set_precise(cfg.precise)
 
     # wavelengths + camera ray (base_renderer.rs:160-176)
     u_l = sampler.get_1d(pixel_xy, sample_idx, 0)
@@ -441,6 +447,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
                     max_depth_dyn):
     strategy = cfg.strategy
     r = px.shape[0]
+    trace.set_precise(cfg.precise)
 
     # ---- regenerate terminated lanes ------------------------------------
     regen = ~s["tracing"] & (s["sample"] + 1 < spp_end)

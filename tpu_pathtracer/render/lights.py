@@ -43,17 +43,27 @@ def _phi_lambda(scene: SceneData, wl):
     rows = scene.lights.spectrum_row                      # (L,)
     n_l = rows.shape[0]
     if wl.bank is not None:
-        # per-sample slice: each light's spectrum column picked by an
-        # unrolled scalar-cond select (no one-hot reduce — see
-        # utils.math.sum_last), then a component-form lane mean
         k = wl.bank.shape[-1] - 3
-        cols = []
-        for s in range(n_l):
-            v = jnp.where(rows[s] == 0, wl.bank[..., 3], 0.0)
-            for i in range(1, k):
-                v = jnp.where(rows[s] == i, wl.bank[..., 3 + i], v)
-            cols.append(mean_last(v))                     # (R,)
-        phi = jnp.stack(cols, axis=-1)                    # (R, L)
+        if n_l * k <= 64:
+            # per-sample slice: each light's spectrum column picked by an
+            # unrolled scalar-cond select (no one-hot reduce — see
+            # utils.math.sum_last), then a component-form lane mean
+            cols = []
+            for s in range(n_l):
+                v = jnp.where(rows[s] == 0, wl.bank[..., 3], 0.0)
+                for i in range(1, k):
+                    v = jnp.where(rows[s] == i, wl.bank[..., 3 + i], v)
+                cols.append(mean_last(v))                 # (R,)
+            phi = jnp.stack(cols, axis=-1)                # (R, L)
+        else:
+            # many lights x spectra: a quadratic unroll would bloat the
+            # trace; one fused one-hot contraction instead
+            mean_bank = mean_last(
+                jnp.swapaxes(wl.bank[..., 3:], -1, -2))   # (R, K)
+            oh = (rows[:, None] ==
+                  jnp.arange(k, dtype=jnp.int32)[None, :])  # (L, K)
+            phi = jnp.einsum("rk,lk->rl", mean_bank,
+                             oh.astype(mean_bank.dtype))  # (R, L)
     else:
         spd = scene.spectra[rows]                         # (L, 470)
         vals = sgrid.eval_dense(spd.T, wl.lam)            # (R, 4, L)

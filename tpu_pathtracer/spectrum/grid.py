@@ -139,13 +139,18 @@ def bank_select(bank, row, first_col: int = 3):
     replacement for ``eval_bank`` when the bank is pre-computed.
     """
     k = bank.shape[-1] - first_col
-    # unrolled slice+where chain, not a one-hot reduce: summing over the
-    # tiny minor axis lowers to a slow cross-lane shuffle on TPU (~4 ms
-    # per call at 256k rays, measured)
-    out = jnp.where((row == 0)[:, None], bank[..., first_col], 0.0)
-    for i in range(1, k):
-        out = jnp.where((row == i)[:, None], bank[..., first_col + i], out)
-    return out
+    if k <= 16:
+        # unrolled slice+where chain, not a one-hot reduce: summing over the
+        # tiny minor axis lowers to a slow cross-lane shuffle on TPU (~4 ms
+        # per call at 256k rays, measured)
+        out = jnp.where((row == 0)[:, None], bank[..., first_col], 0.0)
+        for i in range(1, k):
+            out = jnp.where((row == i)[:, None], bank[..., first_col + i], out)
+        return out
+    # large banks: one one-hot contraction instead of K unrolled selects
+    oh = (row[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])  # (R, K)
+    return jnp.einsum("rlk,rk->rl", bank[..., first_col:],
+                      oh.astype(bank.dtype))
 
 
 def bake_piecewise(lambdas, values) -> np.ndarray:

@@ -17,8 +17,9 @@ A spectrum is reconstructed as
   s(lambda) = sigmoid(c0*t^2 + c1*t + c2),  t = (lambda-360)/470
 (ref: rgb_sigmoid_polynomial.rs:178-185).
 
-Tables are cached on disk under ``.cache/rgb2spec`` keyed by gamut + res so
-the fit runs once per machine.
+Pre-fitted tables ship in ``tpu_pathtracer/data/rgb2spec`` (versioned, all 7
+gamuts at res 32 + 64); new fits land in ``.cache/rgb2spec`` (ephemeral)
+keyed by gamut + res so a fit runs once per machine.
 """
 from __future__ import annotations
 
@@ -36,6 +37,9 @@ from ..utils.math import select_lane
 
 DEFAULT_RES = 64  # ref TABLE_SIZE (rgb_sigmoid_polynomial.rs:16)
 
+# shipped pre-fitted tables (in-repo, versioned)
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "rgb2spec")
+# fallback cache for freshly-fitted tables (ephemeral, gitignored)
 _CACHE_DIR = os.environ.get(
     "TPU_PT_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "rgb2spec"))
 
@@ -210,10 +214,13 @@ def get_table(gamut_name: str, res: int = DEFAULT_RES):
     gamut = by_name(gamut_name)
     os.makedirs(_CACHE_DIR, exist_ok=True)
     # v2: refit against the standard CIE 1931 1nm CMF tables (cie_cmf_data)
-    path = os.path.join(_CACHE_DIR, f"{gamut_name}_{res}_v2.npz")
-    if os.path.exists(path):
-        data = np.load(path)
-        return data["z_nodes"], data["coeffs"]
+    fname = f"{gamut_name}_{res}_v2.npz"
+    for d in (_DATA_DIR, _CACHE_DIR):
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            data = np.load(path)
+            return data["z_nodes"], data["coeffs"]
+    path = os.path.join(_CACHE_DIR, fname)
     # fit on the host CPU backend: through a tunneled TPU the fit's many
     # small host<->device transfers are ~60x slower than plain CPU
     import jax
