@@ -1,28 +1,36 @@
-"""Benchmark: scene 17 (clearcoat PBR dragon) MIS + Sobol on one chip.
+"""Benchmark: the full BASELINE.json config ladder on one chip.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "Mray/s", "vs_baseline": N}
+Prints ONE JSON line whose headline (metric/value/vs_baseline) is the
+flagship scene-17 MIS+Sobol sustained render, with every other BASELINE
+config's measurement nested under "configs" and a differentiable-pass
+grad-step wall clock under "grad_step":
+
+    {"metric": "...", "value": N, "unit": "Mray/s", "vs_baseline": N,
+     "configs": {...}, "grad_step": {...}}
 
 Measurement rules learned the hard way on this platform (round 3):
   * ``block_until_ready()`` does NOT wait on the axon TPU tunnel — every
     timing boundary here is a host materialization (``np.asarray``).
   * A single device execution longer than ~1 minute gets the TPU worker
     killed and poisons the chip for minutes.  The render loop is therefore
-    host-chunked (integrator.render_accum) and each ladder attempt runs in
-    a FRESH SUBPROCESS so a dead worker cannot poison the next attempt.
-  * Timings vary run-to-run (shared tunnel), so the child measures three
-    windows and reports the best rate plus all per-window times.
+    host-chunked (integrator.render_accum) and each config runs in a FRESH
+    SUBPROCESS so a dead worker cannot poison the next config.
+  * Timings vary run-to-run (shared tunnel); each config times one
+    sustained full-spp render (the regenerative wavefront's 1-spp window
+    is its worst case — the drain tail amortizes over a real render).
 
 Ray count = camera + continuation + NEE shadow rays actually traced,
 counted by the real render loop (integrator.count_rays_one_spp) and scaled
 by spp.  vs_baseline compares against BENCH_baseline.json (a CPU
 measurement of the same workload committed in-repo; the reference itself
 publishes no numbers — its README is images-only).
+
+The film's non-finite value count rides along per config (observability
+parity with the reference's sensor NaN warnings, sensor.rs:41-42).
 """
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import subprocess
@@ -31,9 +39,22 @@ import time
 
 FLAG = "--child-json"
 
+# The BASELINE.json ladder.  spp_measured trims device time for the big
+# configs; the metric is a sustained RATE, which the drain-tail
+# amortization makes spp-invariant past ~16 spp (measured r4).
+LADDER = [
+    # name,              scene, strategy, sampler, w, h, spp_base, spp_meas
+    ("s3_pt_random",     3,  "pt",  "random", 256,  256,  16,  16),
+    ("s6_nee_random",    6,  "nee", "random", 512,  512,  64,  64),
+    ("s8_mis_sobol",     8,  "mis", "sobol",  512,  512,  128, 128),
+    ("s10_mis_sobol",    10, "mis", "sobol",  1024, 1024, 256, 64),
+    ("s17_mis_sobol",    17, "mis", "sobol",  1024, 1024, 512, 64),
+]
+HEADLINE = "s17_mis_sobol"
 
-def child(args) -> None:
-    """Measure in this process; print one JSON line on stdout."""
+
+def child_render(args) -> None:
+    """Measure one config in this process; print one JSON line on stdout."""
     import numpy as np
 
     from tpu_pathtracer.render.integrator import (RenderConfig, render_accum,
@@ -41,8 +62,8 @@ def child(args) -> None:
     from tpu_pathtracer.scenes import load_scene
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_depth=args.max_depth, strategy="mis",
-                       sampler="sobol", seed=0)
+                       max_depth=args.max_depth, strategy=args.strategy,
+                       sampler=args.sampler, seed=0)
     scene, meta, cam = load_scene(args.scene, args.width, args.height,
                                   table_res=args.table_res)
 
@@ -53,7 +74,7 @@ def child(args) -> None:
         rays_per_spp = cfg.width * cfg.height * 6.0
         note = f"ray-count pass failed ({type(e).__name__}); analytic estimate"
 
-    # warm-up: compile + one chunk, materialized
+    # warm-up: compile + one spp, materialized
     t0 = time.perf_counter()
     np.asarray(render_accum(scene, meta, cam, cfg, spp_start=0, spp_end=1))
     warm = time.perf_counter() - t0
@@ -61,96 +82,175 @@ def child(args) -> None:
     np.asarray(render_accum(scene, meta, cam, cfg, spp_start=0, spp_end=1))
     per_spp = time.perf_counter() - t0
 
-    # the timed run is ONE SUSTAINED FULL-SPP RENDER (the thing the
-    # watchdog used to kill; VERDICT r3 weak #3).  A 1-spp window is also
-    # the regenerative wavefront's worst case — the drain tail (lanes idle
-    # while the last paths finish) is amortized over all cfg.spp samples
-    # in a real render but dominates a single-sample window.
-    win_spp = cfg.spp
     times = []
-    for k in range(args.windows):
+    accum = None
+    for _ in range(args.windows):
         t0 = time.perf_counter()
-        np.asarray(render_accum(scene, meta, cam, cfg,
-                                spp_start=0, spp_end=win_spp))
+        accum = np.asarray(render_accum(scene, meta, cam, cfg,
+                                        spp_start=0, spp_end=cfg.spp))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    mrays = rays_per_spp * win_spp / best / 1e6
+    mrays = rays_per_spp * cfg.spp / best / 1e6
     print(json.dumps({
-        "mrays": mrays, "rays_per_spp": rays_per_spp, "win_spp": win_spp,
-        "sustained_full_render": True,
+        "mrays": round(mrays, 3),
+        "rays_per_spp": rays_per_spp,
+        "spp": cfg.spp,
         "window_times_s": [round(t, 3) for t in times],
-        "per_spp_s": round(per_spp, 3), "compile_s": round(warm - per_spp, 1),
+        "per_spp_s": round(per_spp, 3),
+        "compile_s": round(warm - per_spp, 1),
+        "nonfinite_film_values": int(np.sum(~np.isfinite(accum))),
         "note": note}))
+
+
+def child_grad(args) -> None:
+    """Time one differentiable-pass step (loss + psum'd param grads)."""
+    import numpy as np
+
+    from tpu_pathtracer import parallel
+    from tpu_pathtracer.render.integrator import RenderConfig
+    from tpu_pathtracer.scenes import load_scene
+
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth, strategy="mis",
+                       sampler="sobol", seed=0)
+    scene, meta, cam = load_scene(args.scene, args.width, args.height,
+                                  table_res=args.table_res)
+    mesh = parallel.make_mesh()
+    params = parallel.extract_params(scene)
+    target = np.zeros((cfg.width * cfg.height, 3), np.float32)
+
+    def step():
+        loss, grads = parallel.loss_and_grads(params, scene, meta, cam, cfg,
+                                              target, mesh)
+        np.asarray(loss)
+        return float(np.asarray(loss)), grads
+
+    t0 = time.perf_counter()
+    loss, grads = step()
+    compile_and_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loss, _ = step()
+    step_s = time.perf_counter() - t0
+    n_finite = int(sum(np.isfinite(np.asarray(g)).sum()
+                       for g in __import__("jax").tree.leaves(grads)))
+    print(json.dumps({
+        "step_s": round(step_s, 3),
+        "compile_s": round(compile_and_first - step_s, 1),
+        "loss": loss,
+        "finite_grad_values": n_finite,
+        "config": f"scene{args.scene} {args.width}x{args.height}x{args.spp}spp"
+                  f" depth {args.max_depth}"}))
+
+
+def _run_child(extra, timeout):
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.abspath(__file__), FLAG] + extra
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, cwd=here)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode == 0 and lines:
+            return json.loads(lines[-1]), ""
+        tail = (p.stderr or "").strip().splitlines()[-1:] or ["no output"]
+        return None, f"rc={p.returncode}: {tail[0][:200]}"
+    except subprocess.TimeoutExpired:
+        return None, f"timed out after {timeout:.0f}s"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--max-depth", type=int, default=16)
+    ap.add_argument("--table-res", type=int, default=64)
+    ap.add_argument("--windows", type=int, default=1)
+    ap.add_argument("--timeout", type=float, default=1500.0,
+                    help="per-config subprocess timeout")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config names (default: all)")
+    ap.add_argument("--skip-grad", action="store_true")
+    ap.add_argument("--record-baseline", action="store_true",
+                    help="write the headline number to BENCH_baseline.json")
+    # child-mode args
+    ap.add_argument(FLAG, dest="child", default=None,
+                    choices=["render", "grad"], help=argparse.SUPPRESS)
+    ap.add_argument("--scene", type=int, default=17)
+    ap.add_argument("--strategy", default="mis")
+    ap.add_argument("--sampler", default="sobol")
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--spp", type=int, default=64)
-    ap.add_argument("--scene", type=int, default=17)
-    ap.add_argument("--max-depth", type=int, default=16)
-    ap.add_argument("--table-res", type=int, default=64)
-    ap.add_argument("--windows", type=int, default=1,
-                    help="full-spp renders to time (best is reported)")
-    ap.add_argument("--window-s", type=float, default=10.0,
-                    help="target seconds of device time per timed window")
-    ap.add_argument("--timeout", type=float, default=1500.0,
-                    help="per-attempt subprocess timeout")
-    ap.add_argument("--record-baseline", action="store_true",
-                    help="write the measured number to BENCH_baseline.json")
-    ap.add_argument(FLAG, action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    if getattr(args, FLAG.lstrip("-").replace("-", "_")):
-        child(args)
+    if args.child == "render":
+        child_render(args)
+        return
+    if args.child == "grad":
+        child_grad(args)
         return
 
     here = os.path.dirname(os.path.abspath(__file__))
-    result = None
-    note = ""
-    # fallback ladder in FRESH subprocesses: a TPU worker killed at one size
-    # poisons that process, never the next attempt
-    for shrink in (1, 2, 4):
-        w, h = args.width // shrink, args.height // shrink
-        cmd = [sys.executable, os.path.abspath(__file__), FLAG,
-               "--width", str(w), "--height", str(h),
-               "--spp", str(args.spp), "--scene", str(args.scene),
-               "--max-depth", str(args.max_depth),
-               "--table-res", str(args.table_res),
-               "--windows", str(args.windows),
-               "--window-s", str(args.window_s)]
-        try:
-            p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=args.timeout, cwd=here)
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if p.returncode == 0 and line:
-                result = json.loads(line[-1])
+    only = set(args.only.split(",")) if args.only else None
+    configs = {}
+    headline = None
+    for name, scene, strat, sampler, w, h, spp_base, spp_meas in LADDER:
+        if only and name not in only:
+            continue
+        result = None
+        note = ""
+        # fallback ladder in FRESH subprocesses: a TPU worker killed at one
+        # size poisons that process, never the next attempt
+        for shrink in (1, 2, 4):
+            res, err = _run_child(
+                ["render", "--scene", str(scene), "--strategy", strat,
+                 "--sampler", sampler, "--width", str(w // shrink),
+                 "--height", str(h // shrink), "--spp", str(spp_meas),
+                 "--max-depth", str(args.max_depth),
+                 "--table-res", str(args.table_res),
+                 "--windows", str(args.windows)], args.timeout)
+            if res is not None:
+                result = res
                 if shrink > 1:
                     note = f"measured at 1/{shrink} size"
                 break
-            tail = (p.stderr or "").strip().splitlines()[-1:] or ["no output"]
-            note = f"attempt 1/{shrink} failed rc={p.returncode}: {tail[0][:200]}"
-        except subprocess.TimeoutExpired:
-            note = f"attempt 1/{shrink} timed out after {args.timeout:.0f}s"
-        print(f"bench: {note}", file=sys.stderr)
+            note = f"attempt 1/{shrink} failed {err}"
+            print(f"bench[{name}]: {note}", file=sys.stderr)
+        entry = {"scene": scene, "strategy": strat, "sampler": sampler,
+                 "size": f"{w}x{h}", "spp_baseline": spp_base,
+                 "spp_measured": spp_meas}
+        if result is None:
+            entry.update({"mrays": 0.0, "note": note})
+        else:
+            entry.update(result)
+            if note:
+                entry["note"] = "; ".join(
+                    x for x in (note, result.get("note", "")) if x)
+            elif not entry.get("note"):
+                entry.pop("note", None)
+        configs[name] = entry
+        if name == HEADLINE:
+            headline = entry
+        print(f"bench[{name}]: {entry.get('mrays', 0.0)} Mray/s",
+              file=sys.stderr)
 
-    metric = (f"scene{args.scene} MIS+Sobol rays/sec/chip "
-              f"({args.width}x{args.height}x{args.spp}spp, "
-              f"depth {args.max_depth})")
-    if result is None:
-        print(json.dumps({"metric": metric, "value": 0.0, "unit": "Mray/s",
-                          "vs_baseline": 0.0, "note": note}))
-        return
+    grad = None
+    if not args.skip_grad and (only is None or "grad" in only
+                               or HEADLINE in (only or ())):
+        grad, err = _run_child(
+            ["grad", "--scene", "17", "--width", "128", "--height", "128",
+             "--spp", "2", "--max-depth", "8",
+             "--table-res", str(args.table_res)], args.timeout)
+        if grad is None:
+            grad = {"step_s": 0.0, "note": f"grad child failed {err}"}
+        print(f"bench[grad]: {grad.get('step_s')}s/step", file=sys.stderr)
 
-    mrays = result["mrays"]
+    if headline is None:
+        # --only without the headline: report the first measured config
+        headline = next(iter(configs.values()), {"mrays": 0.0})
+
+    mrays = headline.get("mrays", 0.0)
     if args.record_baseline:
         with open(os.path.join(here, "BENCH_baseline.json"), "w") as f:
-            json.dump({"mrays_cpu": mrays,
-                       "config": f"{args.width}x{args.height}x{args.spp}"},
-                      f)
-
+            json.dump({"mrays_cpu": mrays, "config": HEADLINE}, f)
     baseline = None
     try:
         with open(os.path.join(here, "BENCH_baseline.json")) as f:
@@ -159,18 +259,17 @@ def main() -> None:
         pass
 
     out = {
-        "metric": metric,
-        "value": round(mrays, 3),
+        "metric": (f"scene17 MIS+Sobol rays/sec/chip "
+                   f"({headline.get('size', '1024x1024')}x"
+                   f"{headline.get('spp_measured', 64)}spp, "
+                   f"depth {args.max_depth}); full BASELINE ladder nested"),
+        "value": mrays,
         "unit": "Mray/s",
         "vs_baseline": round(mrays / baseline, 3) if baseline else 1.0,
-        "rays_per_spp": result["rays_per_spp"],
-        "window_spp": result["win_spp"],
-        "window_times_s": result["window_times_s"],
-        "compile_s": result["compile_s"],
+        "configs": configs,
     }
-    joined = "; ".join(x for x in (note, result.get("note", "")) if x)
-    if joined:
-        out["note"] = joined
+    if grad is not None:
+        out["grad_step"] = grad
     print(json.dumps(out))
 
 
