@@ -115,6 +115,7 @@ def test_env_rotation_moves_radiance():
     unrotated map at d rotated back around +y."""
     from tpu_pathtracer.render.env import env_radiance
     from tpu_pathtracer.spectrum.sampled import sample_uniform
+    from tpu_pathtracer.utils.vec import s4_stack, v3_unstack
 
     s0, _ = _env_scene(0.0)
     s90, _ = _env_scene(90.0)
@@ -127,11 +128,11 @@ def test_env_rotation_moves_radiance():
     x, y, z = d[:, 0], d[:, 1], d[:, 2]
     d_back = jnp.stack([x * math.cos(rot) + z * math.sin(rot), y,
                         -x * math.sin(rot) + z * math.cos(rot)], axis=-1)
-    r_rot = np.asarray(env_radiance(s90, wl, d))
-    r_ref = np.asarray(env_radiance(s0, wl, d_back))
+    r_rot = np.asarray(s4_stack(env_radiance(s90, wl, v3_unstack(d))))
+    r_ref = np.asarray(s4_stack(env_radiance(s0, wl, v3_unstack(d_back))))
     np.testing.assert_allclose(r_rot, r_ref, rtol=1e-4, atol=1e-6)
     # and rotation actually changes the lookup
-    r0 = np.asarray(env_radiance(s0, wl, d))
+    r0 = np.asarray(s4_stack(env_radiance(s0, wl, v3_unstack(d))))
     assert np.abs(r0 - r_rot).max() > 1e-3
 
 
@@ -141,18 +142,21 @@ def test_env_importance_sampling_integrates():
     uniform-direction estimate (validates the pdf against the jitter)."""
     from tpu_pathtracer.render.env import env_radiance, sample_env_direction
     from tpu_pathtracer.spectrum.sampled import sample_uniform
+    from tpu_pathtracer.utils.vec import s4_stack, v2_unstack, v3_unstack
 
     scene, _ = _env_scene(0.0)
     n = 65536
     rng = np.random.default_rng(3)
     wl = sample_uniform(jnp.asarray(rng.uniform(size=n), jnp.float32))
-    u_uv = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+    u_uv = v2_unstack(jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32))
     d, le, pdf = sample_env_direction(scene, wl, u_uv)
-    est_is = float(np.mean(np.asarray(le).mean(-1) / np.asarray(pdf))) / (4 * math.pi)
+    est_is = float(np.mean(np.asarray(s4_stack(le)).mean(-1)
+                           / np.asarray(pdf))) / (4 * math.pi)
 
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    le_u = np.asarray(env_radiance(scene, wl, jnp.asarray(dirs, jnp.float32)))
+    le_u = np.asarray(s4_stack(env_radiance(
+        scene, wl, v3_unstack(jnp.asarray(dirs, jnp.float32)))))
     est_uni = float(le_u.mean(-1).mean())
     assert est_is > 0.0
     assert abs(est_is - est_uni) / est_uni < 0.05, (est_is, est_uni)

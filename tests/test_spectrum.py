@@ -117,29 +117,31 @@ def test_illuminants_normalized():
 
 
 def test_wavelength_sampling_stratified():
+    from tpu_pathtracer.utils.vec import s4_stack
     u = jnp.asarray([0.0, 0.25, 0.9])
     wl = sampled.sample_uniform(u)
-    lam = np.asarray(wl.lam)
+    lam = np.asarray(s4_stack(wl.lam))
     # lane 0 at min + u * range
     assert np.allclose(lam[:, 0], 360.0 + np.asarray(u) * 470.0, atol=1e-3)
     # spacing 117.5 with wraparound
     d = np.diff(lam, axis=-1)
     assert np.allclose(np.abs(np.where(d < 0, d + 470.0, d)), 117.5, atol=1e-3)
     assert (lam >= 360.0).all() and (lam < 830.0).all()
-    assert np.allclose(np.asarray(wl.pdf), 1.0 / 470.0)
+    assert np.allclose(np.asarray(s4_stack(wl.pdf)), 1.0 / 470.0)
 
 
 def test_terminate_secondary():
+    from tpu_pathtracer.utils.vec import s4_stack
     wl = sampled.sample_uniform(jnp.asarray([0.3, 0.7]))
     fired = sampled.terminate_secondary(wl, jnp.asarray([True, False]))
-    pdf = np.asarray(fired.pdf)
+    pdf = np.asarray(s4_stack(fired.pdf))
     assert np.allclose(pdf[0, 1:], 0.0)
     assert np.allclose(pdf[0, 0], (1.0 / 470.0) / 4.0)
     assert np.allclose(pdf[1], 1.0 / 470.0)
     assert bool(fired.secondary_terminated[0]) and not bool(fired.secondary_terminated[1])
     # terminating twice must not divide pdf again (ref: sampled_spectrum.rs:351-353)
     again = sampled.terminate_secondary(fired, jnp.asarray([True, False]))
-    assert np.allclose(np.asarray(again.pdf)[0, 0], (1.0 / 470.0) / 4.0)
+    assert np.allclose(np.asarray(s4_stack(again.pdf))[0, 0], (1.0 / 470.0) / 4.0)
 
 
 def _delta_e_sweep(gamut_name, res, n):

@@ -526,6 +526,26 @@ def intersect_p(bvh: BVHArrays, ray_o, ray_d, t_max, active=None,
                               _full_mask(ray_o, active))
 
 
+def intersect_v3(bvh: BVHArrays, ray_o, ray_d, t_max=BIG_T, active=None,
+                 method: str | None = None) -> Hit:
+    """``intersect`` for component-form (V3) rays — the SoA hot path.
+
+    Stacks the components once at the kernel boundary (a single (R, 3)
+    materialization; the pallas path immediately repacks into its (R, 8)
+    ray record)."""
+    from ..utils.vec import v3_stack
+    return intersect(bvh, v3_stack(ray_o), v3_stack(ray_d), t_max,
+                     active=active, method=method)
+
+
+def intersect_p_v3(bvh: BVHArrays, ray_o, ray_d, t_max, active=None,
+                   method: str | None = None) -> jnp.ndarray:
+    """``intersect_p`` for component-form (V3) rays."""
+    from ..utils.vec import v3_stack
+    return intersect_p(bvh, v3_stack(ray_o), v3_stack(ray_d), t_max,
+                       active=active, method=method)
+
+
 def intersect_brute(p0, p1, p2, ray_o, ray_d, t_max=BIG_T) -> Hit:
     """O(R*T) reference oracle used by the BVH equivalence tests."""
     def per_ray(o, d):

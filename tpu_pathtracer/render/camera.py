@@ -44,25 +44,30 @@ class Camera:
         return np.stack([r, u, -f], axis=1)  # columns
 
     def generate_rays(self, pixel_xy, filter_uv):
-        """pixel_xy: (R, 2) int pixel coords; filter_uv: (R, 2) in [0,1).
+        """pixel_xy: (R, 2) int pixel coords; filter_uv: V2 of (R,) in [0,1).
 
         Box-filter jitter of width 1 (filter.rs:16-31): the sample point is
-        px + (uv - 0.5) + 0.5 = px + uv.  Returns (origin (R,3), dir (R,3),
-        weight (R,)).
+        px + (uv - 0.5) + 0.5 = px + uv.  Returns (origin V3, dir V3,
+        weight (R,)).  The 3x3 rotation entries are compile-time scalars,
+        so the camera transform is nine fused multiply-adds over (R,)
+        components (utils/vec.py SoA convention).
         """
-        x = pixel_xy[:, 0].astype(jnp.float32) + filter_uv[:, 0]
-        y = pixel_xy[:, 1].astype(jnp.float32) + filter_uv[:, 1]
+        from ..utils.vec import V3, normalize3
+
+        x = pixel_xy[:, 0].astype(jnp.float32) + filter_uv.x
+        y = pixel_xy[:, 1].astype(jnp.float32) + filter_uv.y
         aspect = self.width / self.height
         scale = float(np.tan(np.radians(self.fov) / 2.0))
         dx = (2.0 * x / self.width - 1.0) * aspect * scale
         dy = (1.0 - 2.0 * y / self.height) * scale
-        d_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
-        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-        rot = jnp.asarray(self.rotation, jnp.float32)
-        d = d_cam @ rot.T
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o = jnp.zeros_like(d)
-        return o, d, jnp.ones_like(x)
+        d_cam = normalize3(V3(dx, dy, -jnp.ones_like(dx)))
+        m = np.asarray(self.rotation, np.float32)
+        d = normalize3(V3(
+            m[0, 0] * d_cam.x + m[0, 1] * d_cam.y + m[0, 2] * d_cam.z,
+            m[1, 0] * d_cam.x + m[1, 1] * d_cam.y + m[1, 2] * d_cam.z,
+            m[2, 0] * d_cam.x + m[2, 1] * d_cam.y + m[2, 2] * d_cam.z))
+        z = jnp.zeros_like(x)
+        return V3(z, z, z), d, jnp.ones_like(x)
 
 
 def default_camera(width: int, height: int, fov: float = 45.0) -> Camera:

@@ -36,36 +36,48 @@ def _cmf_stack() -> np.ndarray:
 
 
 def spectral_to_rgb(contribution, wl, gamut=color.SRGB, exposure: float = 1.0):
-    """One sample's spectral contribution -> linear RGB (R, 3).
+    """One sample's spectral contribution -> linear RGB as a V3 of (R,).
 
-    contribution: (R, 4); wl: SampledWavelengths with (R, 4) lam/pdf.
-    Mirrors Sensor::add_sample (sensor.rs:41-78).
+    contribution: S4; wl: SampledWavelengths with S4 lam/pdf.
+    Mirrors Sensor::add_sample (sensor.rs:41-78) in component form: the
+    3x3 gamut matrix entries are compile-time scalars, so XYZ -> RGB is
+    nine fused multiply-adds over (R,) arrays.
     """
+    from ..utils.vec import S4, V3, s4_dot, smap
+
     if DEBUG_NANS:
         import jax
 
-        bad = ~jnp.isfinite(contribution)
-        n_bad = jnp.sum(bad)
+        bad = smap(lambda x: ~jnp.isfinite(x), contribution)
+        n_bad = sum(jnp.sum(b) for b in bad.lanes)
         jax.lax.cond(
             n_bad > 0,
             lambda n: jax.debug.print(
                 "film: {n} non-finite spectral contributions zeroed", n=n),
             lambda n: None, n_bad)
-        contribution = jnp.where(bad, 0.0, contribution)
+        contribution = S4(*(jnp.where(b, 0.0, x) for b, x in
+                            zip(bad.lanes, contribution.lanes)))
     if wl.bank is not None:
-        # pre-evaluated per-sample spectral slice: CMFs are columns 0..2
-        cmf_vals = wl.bank[..., :3]                      # (R, 4, 3)
+        cx, cy, cz = wl.bank.cmf_x, wl.bank.cmf_y, wl.bank.cmf_z
     else:
         cmf = jnp.asarray(_cmf_stack())  # (470, 3)
-        # one-hot contraction, not cmf[idx]: a (R, 4)-indexed gather is a
-        # TPU scalar loop; sampled lam always lies in [360, 830) so
-        # eval_dense's out-of-range zeroing matches the old clip behavior
-        cmf_vals = grid.eval_dense(cmf, wl.lam)          # (R, 4, 3)
-    inv_pdf = jnp.where(wl.pdf > 0.0, 1.0 / jnp.where(wl.pdf > 0.0, wl.pdf, 1.0), 0.0)
-    w = contribution * inv_pdf / 4.0                     # (R, 4)
-    xyz = jnp.einsum("rl,rlc->rc", w, cmf_vals)
-    rgb = color.xyz_to_rgb(xyz, gamut)
-    return rgb * exposure
+        vals = [grid.eval_dense(cmf, lane) for lane in wl.lam.lanes]
+        cx = S4(*(v[:, 0] for v in vals))
+        cy = S4(*(v[:, 1] for v in vals))
+        cz = S4(*(v[:, 2] for v in vals))
+    inv_pdf = smap(
+        lambda p: jnp.where(p > 0.0, 1.0 / jnp.where(p > 0.0, p, 1.0), 0.0),
+        wl.pdf)
+    w = contribution * inv_pdf * 0.25                    # S4
+    x = s4_dot(w, cx)
+    y = s4_dot(w, cy)
+    z = s4_dot(w, cz)
+    m = np.asarray(gamut.xyz_to_rgb, np.float32)         # (3, 3) constants
+    e = float(exposure)
+    return V3(
+        (m[0, 0] * x + m[0, 1] * y + m[0, 2] * z) * e,
+        (m[1, 0] * x + m[1, 1] * y + m[1, 2] * z) * e,
+        (m[2, 0] * x + m[2, 1] * y + m[2, 2] * z) * e)
 
 
 def finalize(accum_rgb, spp: int, tone_map: str = "none", eotf: str = "srgb"):

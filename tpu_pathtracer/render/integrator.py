@@ -2,10 +2,17 @@
 
 TPU-native restructuring of the reference's per-pixel recursive loop
 (BaseSrgbRenderer::render, renderer/src/renderer/base_renderer.rs:146-280):
-ALL pixels trace together; the depth loop is a bounded ``lax.fori_loop``
+ALL pixels trace together; the depth loop is a bounded ``lax.while_loop``
 with per-ray alive masks; the PT/NEE/MIS strategy trait
 (renderer/src/renderer.rs:43-80) becomes branch-free weight selection
 resolved at trace time (``strategy`` is a static string).
+
+All loop-carried state is **true SoA** (utils/vec.py): positions and
+directions are V3 component triples, spectra are S4 lane quads, the film
+accumulator rides as three (R,) planes — no (R, C) minor axes, so no
+T(8, 128) lane padding anywhere in the hot loop (the round-4 measured
+ceiling: padded (R,3)/(R,4) buffers cost ~42x their logical size/bandwidth,
+PERF.md).
 
 Bookkeeping matches the reference exactly per ray:
   * contribution at a BSDF-sampled emissive hit uses the throughput BEFORE
@@ -40,7 +47,8 @@ from ..scene.types import SceneData, SceneMeta
 from ..ops import trace
 from ..spectrum import grid as sgrid
 from ..spectrum import sampled as swl
-from ..utils.math import dot, make_frame, to_frame, from_frame
+from ..utils.vec import (S4, V3, dot3, from_frame, make_frame, sel, smap,
+                         to_frame, v3_stack, v3_unstack)
 from . import bsdf as bsdf_mod
 from . import film as film_mod
 from . import lights as lights_mod
@@ -94,8 +102,8 @@ def _spectral_table(scene):
 
 
 def _attach_bank(scene, wl):
-    return wl._replace(bank=sgrid.lambda_slice(_spectral_table(scene),
-                                               wl.lam))
+    return wl._replace(bank=sgrid.lambda_slice_bank(_spectral_table(scene),
+                                                    wl.lam))
 
 
 def _pixel_grid(width, height):
@@ -103,18 +111,27 @@ def _pixel_grid(width, height):
     return jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1), jnp.int32)
 
 
-def _offset_origin(position, geo_n, direction):
+def _offset_origin(position: V3, geo_n: V3, direction: V3) -> V3:
     """Signed-normal offset + forward epsilon (base_renderer.rs:111-121)."""
-    sign = jnp.where(dot(geo_n, direction, keepdims=True) < 0.0, -1.0, 1.0)
-    return position + sign * geo_n * RAY_EPS + direction * RAY_EPS
+    sign = jnp.where(dot3(geo_n, direction) < 0.0, -RAY_EPS, RAY_EPS)
+    return position + geo_n * sign + direction * RAY_EPS
 
 
-def _env_escape_radiance(scene, meta, wl, direction):
+def _env_escape_radiance(scene, meta, wl, direction: V3) -> S4:
     """Scene::evaluate_infinite_light_radiance (scene.rs:213-230)."""
     if not meta.has_env:
-        return jnp.zeros(direction.shape[:1] + (4,))
+        z = jnp.zeros_like(direction.x)
+        return S4(z, z, z, z)
     from .env import env_radiance
     return env_radiance(scene, wl, direction)
+
+
+def _madd(acc: S4, mask, term: S4) -> S4:
+    """acc + where(mask, term, 0) over S4 lanes."""
+    return S4(acc.a + jnp.where(mask, term.a, 0.0),
+              acc.b + jnp.where(mask, term.b, 0.0),
+              acc.c + jnp.where(mask, term.c, 0.0),
+              acc.d + jnp.where(mask, term.d, 0.0))
 
 
 def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
@@ -143,35 +160,37 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     wl = _attach_bank(scene, swl.sample_uniform(u_l))
     uv_film = sampler.get_2d(pixel_xy, sample_idx, 1)
     ray_o, ray_d, weight = camera.generate_rays(pixel_xy, uv_film)
-    throughput = jnp.ones((r, 4)) * weight[:, None]
-    radiance = jnp.zeros((r, 4))
+    throughput = S4(weight, weight, weight, weight)
+    zero = jnp.zeros((r,))
+    radiance = S4(zero, zero, zero, zero)
 
     ray_o = ray_o + ray_d * RAY_EPS
-    hit = trace.intersect(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T))
+    hit = trace.intersect_v3(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T))
     it = make_interaction(scene, hit, ray_o, ray_d)
 
     # camera-ray miss -> env radiance (base_renderer.rs:180-186)
     miss = ~it.valid
     if meta.has_env:
         env_l = _env_escape_radiance(scene, meta, wl, ray_d)
-        radiance = radiance + jnp.where(miss[:, None], throughput * env_l, 0.0)
+        radiance = _madd(radiance, miss, throughput * env_l)
 
     # first-hit emissive (base_renderer.rs:189-194)
     le = bsdf_mod.emitted_radiance(scene, meta, it, wl)
-    radiance = radiance + jnp.where(it.valid[:, None], throughput * le, 0.0)
+    radiance = _madd(radiance, it.valid, throughput * le)
 
     if strategy == "albedo":
         # albedo AOV: reflectance x D65 white (albedo_renderer.rs:17-70)
         alb = bsdf_mod.sample_albedo(scene, meta, it, wl)
-        d65 = wl.bank[..., 3]        # D65 is scene-spectra row 0
-        aov = jnp.where((it.valid & bsdf_mod.is_bsdf_material(scene, it))[:, None],
-                        alb * d65, 0.0)
-        return film_mod.spectral_to_rgb(aov, wl, gamut=_out_gamut(cfg),
-                                        exposure=cfg.exposure)
+        d65 = wl.bank.spectra[0]     # D65 is scene-spectra row 0
+        mask = it.valid & bsdf_mod.is_bsdf_material(scene, it)
+        aov = smap(lambda x: jnp.where(mask, x, 0.0), alb * d65)
+        return v3_stack(film_mod.spectral_to_rgb(
+            aov, wl, gamut=_out_gamut(cfg), exposure=cfg.exposure))
     if strategy == "normal":
         # normal AOV handled in rgb directly (normal_renderer.rs:14-76)
-        n = jnp.where(it.valid[:, None], it.shading_n * 0.5 + 0.5, 0.0)
-        return n
+        n = smap(lambda x: jnp.where(it.valid, x * 0.5 + 0.5, 0.0),
+                 it.shading_n)
+        return v3_stack(n)
 
     alive = it.valid & bsdf_mod.is_bsdf_material(scene, it)
 
@@ -204,9 +223,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
             nee = lights_mod.evaluate_nee(scene, meta, nee_it, frame, wo_t, wl,
                                           u_light, u_s, u_uv,
                                           with_mis=(strategy == "mis"))
-            radiance = radiance + jnp.where(
-                nee_it.valid[:, None],
-                throughput * nee.contribution * nee.mis_weight[:, None], 0.0)
+            radiance = _madd(radiance, nee_it.valid,
+                             throughput * nee.contribution * nee.mis_weight)
             if with_ray_count:
                 n_rays = n_rays + jnp.sum(nee_it.valid.astype(jnp.float32))
 
@@ -216,16 +234,16 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         cont = alive & ms.sampled & (ms.pdf > 0.0)
         if with_ray_count:
             n_rays = n_rays + jnp.sum(cont.astype(jnp.float32))
-        hit2 = trace.intersect(scene.bvh, next_o, wi, jnp.asarray(BIG_T),
-                               active=cont)
+        hit2 = trace.intersect_v3(scene.bvh, next_o, wi, jnp.asarray(BIG_T),
+                                  active=cont)
         it2 = make_interaction(scene, hit2, next_o, wi)
 
         inv_pdf = jnp.where(ms.pdf > 0.0, 1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
-        f_over_pdf = ms.f * inv_pdf[:, None]
+        f_over_pdf = ms.f * inv_pdf
 
         # emissive radiance of the next hit
         le2 = bsdf_mod.emitted_radiance(scene, meta, it2, wl)
-        emit_contrib = throughput * f_over_pdf * le2      # (R, 4)
+        emit_contrib = throughput * f_over_pdf * le2      # S4
 
         if strategy == "pt":
             w_emit = jnp.ones(r)
@@ -236,8 +254,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
             pdf_light = lights_mod.pdf_light_for_hit(scene, meta, it, it2, wl)
             w_mis = lights_mod._balance(ms.pdf, pdf_light)
             w_emit = jnp.where(ms.specular, 1.0, w_mis)
-        radiance = radiance + jnp.where(
-            (cont & it2.valid)[:, None], emit_contrib * w_emit[:, None], 0.0)
+        radiance = _madd(radiance, cont & it2.valid, emit_contrib * w_emit)
 
         # --- BSDF-sampled escape to the environment -----------------------
         if meta.has_env and strategy in ("pt", "mis"):
@@ -249,19 +266,19 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
                 pdf_env = lights_mod.pdf_env_for_direction(scene, meta, wl, wi)
                 w_env = jnp.where(ms.specular, 1.0,
                                   lights_mod._balance(ms.pdf, pdf_env))
-            radiance = radiance + jnp.where(
-                esc[:, None], throughput * f_over_pdf * env_l * w_env[:, None], 0.0)
+            radiance = _madd(radiance, esc,
+                             throughput * f_over_pdf * env_l * w_env)
 
-        throughput = jnp.where(cont[:, None], throughput * f_over_pdf, throughput)
+        throughput = sel(cont, throughput * f_over_pdf, throughput)
         alive = cont & it2.valid & bsdf_mod.is_bsdf_material(scene, it2)
 
         # --- Russian roulette (base_renderer.rs:76-92) --------------------
         p_rr = swl.max_value(throughput)
         u_rr = sampler.get_1d(pixel_xy, sample_idx, base + 9)
         survive = (p_rr >= 1.0) | (u_rr < p_rr)
-        throughput = jnp.where((p_rr < 1.0)[:, None],
-                               throughput / jnp.maximum(p_rr, 1e-12)[:, None],
-                               throughput)
+        throughput = sel(p_rr < 1.0,
+                         throughput * (1.0 / jnp.maximum(p_rr, 1e-12)),
+                         throughput)
         alive = alive & survive
 
         return dict(it=it2, wl=wl, throughput=throughput, radiance=radiance,
@@ -288,8 +305,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
                                    gamut=_out_gamut(cfg),
                                    exposure=cfg.exposure)
     if with_ray_count:
-        return rgb, state["n_rays"]
-    return rgb
+        return v3_stack(rgb), state["n_rays"]
+    return v3_stack(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +438,22 @@ def render_accum(scene: SceneData, meta: SceneMeta, camera: Camera,
 # the next f/pdf update).
 # ---------------------------------------------------------------------------
 
+def _s4_zeros(r):
+    z = jnp.zeros((r,))
+    return S4(z, z, z, z)
+
+
 def _wavefront_init(r: int, spp_start: int, accum):
+    # NOTE every leaf gets its own freshly-allocated buffer: the state is
+    # donated into _wavefront_chunk, and donating one buffer from two
+    # pytree leaves is an XLA error
+    def zeros():
+        return jnp.zeros((r,))
+
+    def s4z():
+        return S4(zeros(), zeros(), zeros(), zeros())
+
+    accum = jnp.asarray(accum)
     return dict(
         sample=jnp.full((r,), spp_start - 1, jnp.int32),
         depth=jnp.zeros((r,), jnp.int32),
@@ -429,16 +461,16 @@ def _wavefront_init(r: int, spp_start: int, accum):
         last_seg=jnp.zeros((r,), bool),
         is_cam=jnp.zeros((r,), bool),
         prev_spec=jnp.zeros((r,), bool),
-        prev_pdf=jnp.zeros((r,)),
-        prev_pos=jnp.zeros((r, 3)),
-        ray_o=jnp.zeros((r, 3)),
-        ray_d=jnp.ones((r, 3)),
-        lam=jnp.full((r, 4), 550.0),
-        pdf=jnp.zeros((r, 4)),
-        throughput=jnp.zeros((r, 4)),
-        thr_emit=jnp.zeros((r, 4)),
-        radiance=jnp.zeros((r, 4)),
-        accum=accum,
+        prev_pdf=zeros(),
+        prev_pos=V3(zeros(), zeros(), zeros()),
+        ray_o=V3(zeros(), zeros(), zeros()),
+        ray_d=V3(jnp.ones((r,)), jnp.ones((r,)), jnp.ones((r,))),
+        lam=S4(*(jnp.full((r,), 550.0) for _ in range(4))),
+        pdf=s4z(),
+        throughput=s4z(),
+        thr_emit=s4z(),
+        radiance=s4z(),
+        accum=V3(accum[:, 0] + 0.0, accum[:, 1] + 0.0, accum[:, 2] + 0.0),
         n_rays=jnp.zeros((), jnp.float32),
     )
 
@@ -458,34 +490,32 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     cam_o, cam_d, weight = camera.generate_rays(px, uv_film)
     cam_o = cam_o + cam_d * RAY_EPS
 
-    rg = regen[:, None]
-    lam = jnp.where(rg, wl_new.lam, s["lam"])
-    pdf_l = jnp.where(rg, wl_new.pdf, s["pdf"])
-    ray_o = jnp.where(rg, cam_o, s["ray_o"])
-    ray_d = jnp.where(rg, cam_d, s["ray_d"])
-    throughput = jnp.where(rg, weight[:, None] + jnp.zeros((r, 4)),
-                           s["throughput"])
-    thr_emit = jnp.where(rg, weight[:, None] + jnp.zeros((r, 4)),
-                         s["thr_emit"])
-    radiance = jnp.where(rg, 0.0, s["radiance"])
+    lam = sel(regen, wl_new.lam, s["lam"])
+    pdf_l = sel(regen, wl_new.pdf, s["pdf"])
+    ray_o = sel(regen, cam_o, s["ray_o"])
+    ray_d = sel(regen, cam_d, s["ray_d"])
+    w4 = S4(weight, weight, weight, weight)
+    throughput = sel(regen, w4, s["throughput"])
+    thr_emit = sel(regen, w4, s["thr_emit"])
+    radiance = sel(regen, _s4_zeros(r), s["radiance"])
     depth = jnp.where(regen, 0, s["depth"])
     is_cam = jnp.where(regen, True, s["is_cam"])
     prev_spec = jnp.where(regen, True, s["prev_spec"])
     prev_pdf = jnp.where(regen, 0.0, s["prev_pdf"])
-    prev_pos = jnp.where(rg, cam_o, s["prev_pos"])
+    prev_pos = sel(regen, cam_o, s["prev_pos"])
     last_seg = jnp.where(regen, False, s["last_seg"])
     tracing = s["tracing"] | regen
     # per-step spectral slice: one flat row-gather over the stacked table
     # feeds every downstream lookup (film CMFs, emission, light power, eta
     # banks) — recomputed full-width each step because regenerated lanes
-    # change wavelengths (cheaper than carrying (R, 4, C) state)
+    # change wavelengths (cheaper than carrying the bank as state)
     wl = swl.SampledWavelengths(
         lam=lam, pdf=pdf_l,
-        bank=sgrid.lambda_slice(_spectral_table(scene), lam))
+        bank=sgrid.lambda_slice_bank(_spectral_table(scene), lam))
 
     # ---- trace the in-flight rays ---------------------------------------
-    hit = trace.intersect(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T),
-                          active=tracing)
+    hit = trace.intersect_v3(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T),
+                             active=tracing)
     it = make_interaction(scene, hit, ray_o, ray_d)
     valid = it.valid & tracing
     n_rays = s["n_rays"] + jnp.sum(tracing.astype(jnp.float32))
@@ -505,8 +535,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
                            lights_mod._balance(prev_pdf, pdf_light))
     # pre-RR-boost weight: base_renderer.rs counts the traced ray's Le
     # BEFORE roulette boosts the carried throughput (rs:76-92,231-264)
-    radiance = radiance + jnp.where(valid[:, None],
-                                    thr_emit * le * w_emit[:, None], 0.0)
+    radiance = _madd(radiance, valid, thr_emit * le * w_emit)
 
     # ---- escape to the environment --------------------------------------
     if meta.has_env:
@@ -523,8 +552,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
                                                        ray_d)
             w_env = jnp.where(prev_spec, 1.0,
                               lights_mod._balance(prev_pdf, pdf_env))
-        radiance = radiance + jnp.where(
-            esc[:, None], thr_emit * env_l * w_env[:, None], 0.0)
+        radiance = _madd(radiance, esc, thr_emit * env_l * w_env)
 
     # ---- continue from this vertex? -------------------------------------
     alive = valid & bsdf_mod.is_bsdf_material(scene, it) & ~last_seg
@@ -548,9 +576,8 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
         nee = lights_mod.evaluate_nee(scene, meta, nee_it, frame, wo_t, wl,
                                       u_light, u_s, u_uv,
                                       with_mis=(strategy == "mis"))
-        radiance = radiance + jnp.where(
-            nee_it.valid[:, None],
-            throughput * nee.contribution * nee.mis_weight[:, None], 0.0)
+        radiance = _madd(radiance, nee_it.valid,
+                         throughput * nee.contribution * nee.mis_weight)
         n_rays = n_rays + jnp.sum(nee_it.valid.astype(jnp.float32))
 
     wi = from_frame(frame, ms.wi_t)
@@ -558,8 +585,7 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     cont = alive & ms.sampled & (ms.pdf > 0.0)
     inv_pdf = jnp.where(ms.pdf > 0.0,
                         1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
-    new_thr_emit = jnp.where(cont[:, None],
-                             throughput * ms.f * inv_pdf[:, None], throughput)
+    new_thr_emit = sel(cont, throughput * ms.f * inv_pdf, throughput)
 
     # russian roulette decides whether the NEXT hit becomes the last
     # contributing segment (base_renderer.rs:76-92); the 1/p boost applies
@@ -568,9 +594,9 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     p_rr = swl.max_value(new_thr_emit)
     u_rr = sampler.get_1d(px, sample, base + 9)
     survive = (p_rr >= 1.0) | (u_rr < p_rr)
-    new_thr = jnp.where((p_rr < 1.0)[:, None],
-                        new_thr_emit / jnp.maximum(p_rr, 1e-12)[:, None],
-                        new_thr_emit)
+    new_thr = sel(p_rr < 1.0,
+                  new_thr_emit * (1.0 / jnp.maximum(p_rr, 1e-12)),
+                  new_thr_emit)
     new_last = ~survive | (depth + 1 >= max_depth_dyn)
 
     # ---- lane bookkeeping -----------------------------------------------
@@ -578,9 +604,10 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
     finalize = tracing & ~new_tracing
     rgb = film_mod.spectral_to_rgb(radiance, wl, gamut=_out_gamut(cfg),
                                    exposure=cfg.exposure)
-    accum = s["accum"] + jnp.where(finalize[:, None], rgb, 0.0)
+    accum = V3(s["accum"].x + jnp.where(finalize, rgb.x, 0.0),
+               s["accum"].y + jnp.where(finalize, rgb.y, 0.0),
+               s["accum"].z + jnp.where(finalize, rgb.z, 0.0))
 
-    nt = new_tracing[:, None]
     return dict(
         sample=sample,
         depth=jnp.where(new_tracing, depth + 1, depth),
@@ -589,13 +616,13 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
         is_cam=jnp.where(new_tracing, False, is_cam),
         prev_spec=jnp.where(new_tracing, ms.specular, prev_spec),
         prev_pdf=jnp.where(new_tracing, ms.pdf, prev_pdf),
-        prev_pos=jnp.where(nt, it.position, prev_pos),
-        ray_o=jnp.where(nt, next_o, ray_o),
-        ray_d=jnp.where(nt, wi, ray_d),
+        prev_pos=sel(new_tracing, it.position, prev_pos),
+        ray_o=sel(new_tracing, next_o, ray_o),
+        ray_d=sel(new_tracing, wi, ray_d),
         lam=wl.lam,
         pdf=wl.pdf,
-        throughput=jnp.where(nt, new_thr, throughput),
-        thr_emit=jnp.where(nt, new_thr_emit, thr_emit),
+        throughput=sel(new_tracing, new_thr, throughput),
+        thr_emit=sel(new_tracing, new_thr_emit, thr_emit),
         radiance=radiance,
         accum=accum,
         n_rays=n_rays,
@@ -668,7 +695,7 @@ def render_wavefront(scene: SceneData, meta: SceneMeta, camera: Camera,
                 jnp.asarray(spp_end, jnp.int32), px_tile, state, md)
             if bool(np.asarray(all_done)):
                 break
-        outs.append(state["accum"])
+        outs.append(v3_stack(state["accum"]))
         n_rays += float(np.asarray(state["n_rays"]))
     accum = jnp.concatenate(outs, 0)[:n_px]
     if with_ray_count:

@@ -170,8 +170,10 @@ class RandomSampler:
         return jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
 
     def get_2d(self, pixel_xy, sample_idx, dim):
+        from ..utils.vec import V2
         keys = self._keys(pixel_xy, sample_idx, dim)
-        return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
+        uv = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
+        return V2(uv[:, 0], uv[:, 1])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -235,6 +237,7 @@ class ZSobolSampler:
         return _u32_to_unit_float(_fast_owen(v, s0))
 
     def get_2d(self, pixel_xy, sample_idx, dim):
+        from ..utils.vec import V2
         dim = jnp.asarray(dim, jnp.uint32)
         morton = self._morton(pixel_xy[:, 0], pixel_xy[:, 1], jnp.asarray(sample_idx))
         idx = self._sample_index(morton, dim)
@@ -243,7 +246,7 @@ class ZSobolSampler:
         m = _sobol_matrices()
         u = _u32_to_unit_float(_fast_owen(_sobol_u32(idx, m[0]), s0))
         v = _u32_to_unit_float(_fast_owen(_sobol_u32(idx, m[1]), s1))
-        return jnp.stack([u, v], axis=-1)
+        return V2(u, v)
 
 
 def make_sampler(kind: str, seed: int, spp: int, resolution):

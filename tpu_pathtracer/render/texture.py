@@ -5,20 +5,27 @@ fract-wrap UVs with flipped v (1 - v.fract()).  Because scene textures have
 heterogeneous shapes, per-ray texture selection is a static Python loop over
 the scene's texture tuple with masked merges — scenes carry a handful of
 textures, and XLA fuses the masked loads.
+
+UVs arrive as ``V2`` component pairs (utils/vec.py); fetched texels stay as
+``(R, C)`` gather rows (the gathered row pads to 128 lanes regardless of C,
+so there is nothing to win by splitting the gather itself) and callers
+slice components off immediately.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.vec import V2
 
-def sample_bilinear(tex, uv):
-    """tex: (H, W, C); uv: (R, 2) -> (R, C).
+
+def sample_bilinear(tex, uv: V2):
+    """tex: (H, W, C); uv: V2 of (R,) -> (R, C).
 
     v is flipped (the reference flips v: sampler.rs 1.0 - uv.y.fract()).
     """
     h, w = tex.shape[0], tex.shape[1]
-    u = uv[:, 0] % 1.0
-    v = (1.0 - (uv[:, 1] % 1.0)) % 1.0
+    u = uv.x % 1.0
+    v = (1.0 - (uv.y % 1.0)) % 1.0
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
@@ -41,13 +48,13 @@ def sample_bilinear(tex, uv):
     return top + (bot - top) * fy[:, None]
 
 
-def sample_indexed(textures, tex_ids, uv, n_channels: int, default):
+def sample_indexed(textures, tex_ids, uv: V2, n_channels: int, default):
     """Masked multi-texture fetch.
 
     textures: tuple of (H, W, C) arrays (static); tex_ids: (R,) i32 with -1
     meaning 'use default'; default: (R, n_channels) or broadcastable.
     """
-    r = uv.shape[0]
+    r = uv.x.shape[0]
     out = jnp.broadcast_to(jnp.asarray(default, jnp.float32), (r, n_channels))
     for tid, tex in enumerate(textures):
         if tex.shape[-1] < n_channels:

@@ -562,8 +562,12 @@ class SceneBuilder:
                 lt["mat_id"][i] = l["mat_id"]
 
         zn, coeffs = self._table()
+        tri_attr = np.concatenate(
+            [N.reshape(len(P), 9), UV.reshape(len(P), 6), TAN],
+            axis=1).astype(np.float32)
         data = SceneData(
             bvh=bvh,
+            tri_attr=jnp.asarray(tri_attr),
             tri_n0=jnp.asarray(N[:, 0]), tri_n1=jnp.asarray(N[:, 1]),
             tri_n2=jnp.asarray(N[:, 2]),
             tri_uv0=jnp.asarray(UV[:, 0]), tri_uv1=jnp.asarray(UV[:, 1]),

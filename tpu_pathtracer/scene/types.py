@@ -112,6 +112,12 @@ class EnvMap(NamedTuple):
 class SceneData(NamedTuple):
     """Everything the integrator needs, as device arrays (pytree)."""
     bvh: BVHArrays
+    # packed per-triangle shading attributes in BVH leaf order:
+    # [n0 n1 n2 | uv0 uv1 uv2 | tangent] = (T, 18).  One row gather feeds
+    # the whole surface-interaction build (a (T, 18) row gather costs the
+    # same as a (T, 3) one on TPU — the gathered row pads to 128 lanes
+    # either way — so this replaces 7 gathers with 1)
+    tri_attr: jnp.ndarray
     # per-triangle attributes in BVH leaf order
     tri_n0: jnp.ndarray         # (T, 3) vertex shading normals
     tri_n1: jnp.ndarray

@@ -153,6 +153,74 @@ def bank_select(bank, row, first_col: int = 3):
                       oh.astype(bank.dtype))
 
 
+# ---------------------------------------------------------------------------
+# SoA (component-form) bank: the hot-path replacement for lambda_slice /
+# bank_select.  See utils/vec.py for why (R, 4, C) buffers are poison on TPU.
+# ---------------------------------------------------------------------------
+
+def lambda_slice_bank(table, lam):
+    """Evaluate every column of a stacked dense-spectrum table at S4 ``lam``.
+
+    table: (470, 3+K) — CIE CMFs in columns 0..2, scene spectra after.
+    lam: S4 of (R,) wavelengths.  Returns a ``sampled.Bank``: one flat
+    row-gather per lane (the TPU fast-gather form), columns split into
+    (R,)-component S4s so every downstream op is full-width.
+    """
+    from ..utils.vec import S4
+    from .sampled import Bank
+
+    k = table.shape[-1]
+    cols = [[], [], [], []]   # per table column c: 4 lanes
+    per_lane = []
+    for lane in lam.lanes if hasattr(lam, "lanes") else (
+            lam.a, lam.b, lam.c, lam.d):
+        idx, in_range = _lam_index(lane)
+        rows = table[idx]                                  # (R, 3+K) gather
+        rows = jnp.where(in_range[:, None], rows, 0.0)
+        per_lane.append(rows)
+    def col(c):
+        return S4(*(rows[:, c] for rows in per_lane))
+    return Bank(cmf_x=col(0), cmf_y=col(1), cmf_z=col(2),
+                spectra=tuple(col(3 + i) for i in range(k - 3)))
+
+
+def bank_pick(bank, row):
+    """Select one pre-evaluated scene spectrum per ray -> S4.
+
+    bank: ``sampled.Bank``; row: (R,) i32 scene-spectra row.  Unrolled
+    where-chain for small K (pure elementwise selects), one-hot
+    contraction past 16 columns.
+    """
+    from ..utils.vec import S4
+    spectra = bank.spectra
+    k = len(spectra)
+    if k == 0:
+        z = jnp.zeros_like(bank.cmf_x.a)
+        return S4(z, z, z, z)
+    if k <= 16:
+        out = [jnp.where(row == 0, s, 0.0) for s in spectra[0].lanes]
+        for i in range(1, k):
+            si = spectra[i]
+            out = [jnp.where(row == i, lane_v, o)
+                   for lane_v, o in zip(si.lanes, out)]
+        return S4(*out)
+    lanes = []
+    for l in range(4):
+        stackv = jnp.stack([s.lanes[l] for s in spectra], axis=0)   # (K, R)
+        oh = (row[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None])
+        lanes.append(jnp.sum(jnp.where(oh, stackv, 0.0), axis=0))
+    return S4(*lanes)
+
+
+def eval_dense_s4(values, lam):
+    """``eval_dense`` for a single (470,) spectrum at S4 wavelengths."""
+    from ..utils.vec import S4
+    outs = []
+    for lane in (lam.a, lam.b, lam.c, lam.d):
+        outs.append(eval_dense(values, lane))
+    return S4(*outs)
+
+
 def bake_piecewise(lambdas, values) -> np.ndarray:
     """Bake a piecewise-linear (lambda, value) spectrum onto the dense grid.
 

@@ -328,3 +328,38 @@ def illuminant_eval(rgb, lam, zn, coeffs, d65_dense, d65_vals=None):
     if d65_vals is not None:
         return base * d65_vals
     return base * eval_dense(jnp.asarray(d65_dense, base.dtype), lam)
+
+
+# ---------------------------------------------------------------------------
+# SoA (S4 component) variants — the hot-path forms (see utils/vec.py)
+# ---------------------------------------------------------------------------
+
+def sigmoid_poly_s4(c, lam):
+    """sigmoid_poly with S4 wavelengths: c (R, 3) coeffs -> S4 value."""
+    from ..utils.vec import S4
+    c0, c1, c2 = c[..., 0], c[..., 1], c[..., 2]
+    scale = 1.0 / (LAMBDA_MAX - LAMBDA_MIN)
+
+    def lane(l):
+        t = (l - LAMBDA_MIN) * scale
+        return jax.nn.sigmoid((c0 * t + c1) * t + c2)
+
+    return S4(*(lane(l) for l in lam.lanes))
+
+
+def unbounded_eval_s4(rgb, lam, zn, coeffs):
+    """unbounded_eval with S4 wavelengths (rgb_unbounded_spectrum.rs:16-44)."""
+    scale = 2.0 * jnp.max(rgb, axis=-1)
+    rgb_n = jnp.where(scale[:, None] > 0,
+                      rgb / jnp.maximum(scale[:, None], 1e-12), 0.0)
+    c = lookup_coeffs(rgb_n, zn, coeffs)
+    return sigmoid_poly_s4(c, lam) * scale
+
+
+def illuminant_eval_s4(rgb, lam, zn, coeffs, d65_dense, d65_vals=None):
+    """illuminant_eval with S4 wavelengths; d65_vals: optional S4."""
+    from .grid import eval_dense_s4
+    base = unbounded_eval_s4(rgb, lam, zn, coeffs)
+    if d65_vals is not None:
+        return base * d65_vals
+    return base * eval_dense_s4(jnp.asarray(d65_dense, jnp.float32), lam)
