@@ -23,9 +23,10 @@ sampler = make_sampler("sobol", 0, 64, (W, W))
 
 @jax.jit
 def rays():
+    from tpu_pathtracer.utils.vec import v3_stack
     uv = sampler.get_2d(px, 0, 1)
     o, d, _ = cam.generate_rays(px, uv)
-    return o, d
+    return v3_stack(o), v3_stack(d)
 
 o, d = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray, rays()))
 

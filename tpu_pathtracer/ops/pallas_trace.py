@@ -44,7 +44,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RAY_TILE = 128   # rays per program
+# rays per program: each program walks RAY_TILE/SUB cull subtiles
+# sequentially.  Larger tiles amortize the ~7us fixed per-program cost
+# (SMEM/VMEM block setup, measured r5 via an all-dead-ray floor of
+# 14.5 ms at 2048 programs) without touching cull quality (lists stay
+# per-SUB).
+RAY_TILE = 512
 # rays per culling subtile.  8-ray subtiles give ~4x tighter block lists
 # (measured, scene17 bounce rays) but the per-block-test scalar/control
 # overhead (~0.4us: SMEM reads, while cond, dynamic slices) then dominates
@@ -411,6 +416,27 @@ def _coherence_keys(ray_o, ray_d, t0):
                      key.astype(jnp.int32))
 
 
+def _coherence_keys_cols(o_cols, d_cols, t0):
+    """Component-form ``_coherence_keys`` (o_cols/d_cols: 3x (R,))."""
+    from ..utils.math import morton2
+    ox, oy, oz = o_cols
+    dx, dy, dz = d_cols
+
+    def quant(c):
+        lo = jnp.min(c)
+        hi = jnp.max(c)
+        scale = 1023.0 / jnp.maximum(hi - lo, 1e-12)
+        return jnp.clip((c - lo) * scale, 0.0, 1023.0).astype(jnp.uint32)
+
+    qx, qy, qz = quant(ox), quant(oy), quant(oz)
+    m = morton2(qx, qy) | ((qz >> jnp.uint32(5)) << jnp.uint32(20))
+    oct_ = ((dx < 0).astype(jnp.uint32)
+            | ((dy < 0).astype(jnp.uint32) << 1)
+            | ((dz < 0).astype(jnp.uint32) << 2))
+    key = (oct_ << jnp.uint32(25)) | (m & jnp.uint32((1 << 25) - 1))
+    return jnp.where(t0 < 0.0, jnp.int32(0x7FFFFFFF), key.astype(jnp.int32))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_real", "any_hit", "precise",
                                     "interpret"))
@@ -481,6 +507,13 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
     t_max = -1, fall out of every cull list, and can never record a hit.
     ``sort`` orders rays by a coherence key first (stable, exact — each
     ray's result is independent) so post-bounce tiles stay cullable.
+
+    Permutation strategy: rays ride INTO coherent order as extra sort
+    payload columns, and results ride BACK by sorting on the carried
+    original index — lax.sort is a vectorized sorting network (~0.2-0.6 ms
+    at 256k rows), while each avoided permute gather costs ~2.2-2.5 ms on
+    this chip (the gather path runs ~45 GB/s; measured r5, the single
+    biggest fixed cost of a traverse after the SoA refactor).
     """
     from .trace import Hit
 
@@ -491,30 +524,29 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
     if active is not None:
         t0 = jnp.where(active, t0, -1.0)
 
-    # one packed (R, 8) ray record [o, 1, d, 0]: the kernels consume this
-    # layout directly, and the coherence sort permutes ONE row-gather
-    # instead of separate lane-padded ray_o / ray_d gathers (measured
-    # ~2.5 ms each per traverse at 256k rays)
-    one = jnp.ones((r, 1), ray_o.dtype)
-    rays = jnp.concatenate([ray_o, one, ray_d, one * 0.0], axis=1)
+    cols = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+            ray_d[:, 0], ray_d[:, 1], ray_d[:, 2], t0]
 
     # whole SMEM row-blocks: programs sharing one list block must all exist
     pad = (-r) % (RAY_TILE * max(1, 8 // SUB_PER_PROG))
     if pad:
-        pad_rays = jnp.tile(jnp.asarray([0., 0., 0., 1., 1., 1., 1., 0.],
-                                        ray_o.dtype), (pad, 1))
-        rays = jnp.concatenate([rays, pad_rays], 0)
-        t0 = jnp.concatenate([t0, jnp.full((pad,), -1.0)], 0)
+        pad_vals = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0, -1.0)
+        cols = [jnp.concatenate([c, jnp.full((pad,), v, c.dtype)], 0)
+                for c, v in zip(cols, pad_vals)]
 
     if sort and r > RAY_TILE:
-        keys = _coherence_keys(rays[:, 0:3], rays[:, 4:7], t0)
-        idx = jnp.arange(rays.shape[0], dtype=jnp.int32)
-        _, perm = jax.lax.sort([keys, idx], num_keys=1, is_stable=True)
-        rays = rays[perm]
-        t0 = t0[perm]
-        _, inv = jax.lax.sort([perm, idx], num_keys=1, is_stable=True)
+        keys = _coherence_keys_cols(cols[0:3], cols[3:6], cols[6])
+        idx = jnp.arange(cols[0].shape[0], dtype=jnp.int32)
+        sorted_ = jax.lax.sort([keys] + cols + [idx], num_keys=1,
+                               is_stable=True)
+        cols = list(sorted_[1:8])
+        perm = sorted_[8]
     else:
-        inv = None
+        perm = None
+
+    ox, oy, oz, dx, dy, dz, t0 = cols
+    one = jnp.ones_like(ox)
+    rays = jnp.stack([ox, oy, oz, one, dx, dy, dz, one * 0.0], axis=1)
 
     # triangle table: shear-test layout for precise, unit-triangle affine
     # transforms (MXU fast path) otherwise
@@ -523,11 +555,16 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
                            t0, n_real=bvh.tri9.shape[0], any_hit=any_hit,
                            precise=precise, interpret=interpret)
     if any_hit:
-        occ = out if inv is None else out[inv]
-        return occ[:r]
+        if perm is not None:
+            # un-permute by sorting on the carried original index
+            _, occ = jax.lax.sort([perm, out.astype(jnp.int32)], num_keys=1,
+                                  is_stable=True)
+            return (occ != 0)[:r]
+        return out[:r]
     t, tri, b1, b2 = out
-    if inv is not None:
-        t, tri, b1, b2 = t[inv], tri[inv], b1[inv], b2[inv]
+    if perm is not None:
+        _, t, tri, b1, b2 = jax.lax.sort([perm, t, tri, b1, b2], num_keys=1,
+                                         is_stable=True)
     t, tri, b1, b2 = t[:r], tri[:r], b1[:r], b2[:r]
     # padded degenerate triangles can never hit; ids past the real count
     # cannot appear, but clamp defensively for downstream gathers

@@ -402,17 +402,18 @@ def _pallas_chunked(bvh: BVHArrays, ray_o, ray_d, t_max, active,
     c = bvh.blk_min.shape[0]
     cap = max(MAX_DENSE_TRIS // BLOCK, 1)
     if any_hit:
-        # shadow rays skip the coherence sort: their origins inherit
-        # surface locality from lane (pixel) order and t_max is short,
-        # so block lists stay tight; the two saved lax.sorts + permute
-        # gathers outweigh the slightly looser lists (measured)
+        # shadow rays get the coherence sort too: post-SoA the sort +
+        # permute cost ~1-3 ms while sorted subtiles cull to ~2.6x
+        # shorter block lists (measured r5: mean 16.6 vs 43.5 blocks on
+        # scene-17 bounce-state rays) — the any-hit kernel is bandwidth
+        # of the whole step, so this is a direct ~2x on it
         occ = jnp.zeros((r,), bool)
         for b0 in range(0, c, cap):
             sub = bvh if c <= cap else _chunk_view(bvh, b0, min(c, b0 + cap))
             act = ~occ if active is None else (active & ~occ)
             occ = occ | pallas_trace.traverse(sub, ray_o, ray_d, t_max,
                                               active=act, any_hit=True,
-                                              sort=False,
+                                              sort=True,
                                               precise=_PRECISE_OVERRIDE,
                                               interpret=interpret)
         zero = jnp.zeros((r,), ray_o.dtype)

@@ -12,6 +12,22 @@ component triples, spectra are ``S4`` lane quads, masks/scalars are bare
 ``(R,)`` arrays — no ``(R, C)`` minor axes anywhere in the math, so every
 op runs at full VPU lane width (the round-4 hot-path ceiling, PERF.md).
 
+Differentiation stance (the differentiable pass, SURVEY §7.6): traversal
+and hit attributes are detached (ops/trace.py custom zero-vjp) and discrete
+lobe/light/RR decisions are FIXED sample decisions — reverse-mode flows
+through the continuous factors only.  VNDF sampling is *attached*: the
+sampled direction wm(alpha, u) differentiates w.r.t. roughness, an implicit
+reparameterization whose sample-motion term complements the explicit
+d(f/pdf)/d(alpha) term (both estimate dE/d(alpha); their per-sample values
+differ).  The FD gates in tests/test_grad.py therefore validate the
+microfacet derivative chain on ONE-bounce NEE-only configurations, where
+radiance is a pure f_eval(wo, wi_light; params) chain and AD-vs-FD is
+exact up to float noise; deep-path gradients are additionally covered by
+the loss-descent training gates.  Known estimator gap (documented, not a
+correctness bug for fitting): the *mixture-by-picking* metallic choice
+(uc <= metallic) contributes d(mixture)/d(metallic) only through the eval
+side (NEE/MIS), not through the picked-lobe boundary term.
+
 Conventions (same as the reference):
   * all directions live in the *vertex shading-tangent* frame (+Z = vertex
     shading normal) — ``wo_t``, ``wi_t``;
