@@ -50,12 +50,11 @@ import numpy as np
 # 14.5 ms at 2048 programs) without touching cull quality (lists stay
 # per-SUB).
 RAY_TILE = 512
-# rays per culling subtile.  8-ray subtiles give ~4x tighter block lists
-# (measured, scene17 bounce rays) but the per-block-test scalar/control
-# overhead (~0.4us: SMEM reads, while cond, dynamic slices) then dominates
-# the (8, 128) vector work — measured 75/36 ms vs 64/7 ms closest/any-hit.
-# Full-tile subtiles keep the vector:control ratio ~3:1, the best measured.
-SUB = 128
+# rays per culling subtile.  Sweep (r5, scene17 bounce rays, ms/iter
+# closest/any-hit): SUB=128 37.8/27.0, SUB=64 33.1/24.3, SUB=32 34.6/26.3,
+# SUB=8 (r4) control-bound.  64 balances list tightness against per-block
+# control overhead (~0.4us: SMEM reads, while cond, dynamic slices).
+SUB = 64
 SUB_PER_PROG = RAY_TILE // SUB
 BLOCK = 128      # triangles per block (lanes) — must match trace.BLOCK
 EXIT_GROUP = 4   # blocks tested between front-to-back early-exit checks
