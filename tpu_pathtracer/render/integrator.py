@@ -465,7 +465,10 @@ def _wavefront_init(r: int, spp_start: int, accum):
         prev_pos=V3(zeros(), zeros(), zeros()),
         ray_o=V3(zeros(), zeros(), zeros()),
         ray_d=V3(jnp.ones((r,)), jnp.ones((r,)), jnp.ones((r,))),
-        lam=S4(*(jnp.full((r,), 550.0) for _ in range(4))),
+        # explicit dtype: a weak-typed leaf here would make the SECOND
+        # _wavefront_chunk call (whose state leaves are strong-typed
+        # outputs) a different trace — doubling the ~80 s cold compile
+        lam=S4(*(jnp.full((r,), 550.0, jnp.float32) for _ in range(4))),
         pdf=s4z(),
         throughput=s4z(),
         thr_emit=s4z(),
