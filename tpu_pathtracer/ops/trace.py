@@ -547,6 +547,115 @@ def intersect_p_v3(bvh: BVHArrays, ray_o, ray_d, t_max, active=None,
                        active=active, method=method)
 
 
+# ---------------------------------------------------------------------------
+# Composite scene queries: main flattened soup + instanced mesh groups.
+# ---------------------------------------------------------------------------
+
+def _inst_rays(group, o3, d3):
+    """Transform V3 rays into every instance's object space.
+
+    Directions stay UNNORMALIZED so the ray parameter t is identical in
+    object and render space (affine maps preserve the parameterization).
+    Returns stacked (I*R, 3) arrays.
+    """
+    from ..utils.vec import V3
+    os_, ds_ = [], []
+    n_inst = group.inv.shape[0]
+    for i in range(n_inst):
+        m = group.inv[i]
+        o = V3(m[0] * o3.x + m[1] * o3.y + m[2] * o3.z + m[9],
+               m[3] * o3.x + m[4] * o3.y + m[5] * o3.z + m[10],
+               m[6] * o3.x + m[7] * o3.y + m[8] * o3.z + m[11])
+        d = V3(m[0] * d3.x + m[1] * d3.y + m[2] * d3.z,
+               m[3] * d3.x + m[4] * d3.y + m[5] * d3.z,
+               m[6] * d3.x + m[7] * d3.y + m[8] * d3.z)
+        os_.append(o)
+        ds_.append(d)
+    o_all = jnp.stack([jnp.concatenate([v.x for v in os_]),
+                       jnp.concatenate([v.y for v in os_]),
+                       jnp.concatenate([v.z for v in os_])], axis=1)
+    d_all = jnp.stack([jnp.concatenate([v.x for v in ds_]),
+                       jnp.concatenate([v.y for v in ds_]),
+                       jnp.concatenate([v.z for v in ds_])], axis=1)
+    return o_all, d_all
+
+
+def _inst_active(group, o3, d3, t_bound, active):
+    """Per-instance world-AABB pre-cull -> (I*R,) active mask."""
+    acts = []
+    inv_dx = 1.0 / d3.x
+    inv_dy = 1.0 / d3.y
+    inv_dz = 1.0 / d3.z
+    n_inst = group.inv.shape[0]
+    for i in range(n_inst):
+        tn = jnp.full_like(o3.x, -jnp.inf)
+        tf = jnp.full_like(o3.x, jnp.inf)
+        for a, (oc, inv) in enumerate(((o3.x, inv_dx), (o3.y, inv_dy),
+                                       (o3.z, inv_dz))):
+            lo = (group.aabb_min[i, a] - oc) * inv
+            hi = (group.aabb_max[i, a] - oc) * inv
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        hit = (tn <= tf) & (tf > 0.0) & (tn < t_bound)
+        acts.append(hit if active is None else (active & hit))
+    return jnp.concatenate(acts)
+
+
+def intersect_scene(scene, ray_o, ray_d, t_max=BIG_T, active=None) -> Hit:
+    """Closest hit against the whole scene: main soup + instanced groups.
+
+    ray_o/ray_d: V3 (component) rays; returns a composite Hit whose tri
+    ids encode (group, instance, canonical tri) past the main soup (see
+    scene/types.InstancedGroup).  One batched kernel invocation per group
+    covers ALL of its instances (instance-culled lanes ride as dead rays).
+    """
+    from ..utils.vec import v3_stack
+    r = ray_o.x.shape[0]
+    best = intersect(scene.bvh, v3_stack(ray_o), v3_stack(ray_d), t_max,
+                     active=active)
+    base = scene.bvh.tri9.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, ray_o.x.dtype), (r,))
+    for g in scene.instanced:
+        n_inst = g.inv.shape[0]
+        tc = g.bvh.tri9.shape[0]
+        # missing rays carry t = BIG_T; clamp to the caller's bound so the
+        # instance pass cannot report hits beyond a finite t_max
+        bound = jnp.minimum(best.t, t0)
+        o_all, d_all = _inst_rays(g, ray_o, ray_d)
+        act = _inst_active(g, ray_o, ray_d, bound, active)
+        t_all = jnp.tile(bound, n_inst)
+        h = intersect(g.bvh, o_all, d_all, t_all, active=act)
+        # min over instances
+        for i in range(n_inst):
+            hi = jax.tree.map(lambda x: x[i * r:(i + 1) * r], h)
+            better = hi.hit & (hi.t < best.t)
+            best = Hit(t=jnp.where(better, hi.t, best.t),
+                       tri=jnp.where(better, base + i * tc + hi.tri,
+                                     best.tri),
+                       b1=jnp.where(better, hi.b1, best.b1),
+                       b2=jnp.where(better, hi.b2, best.b2),
+                       hit=best.hit | better)
+        base += n_inst * tc
+    return best
+
+
+def intersect_p_scene(scene, ray_o, ray_d, t_max, active=None) -> jnp.ndarray:
+    """Occlusion against the whole scene (main soup + instances)."""
+    from ..utils.vec import v3_stack
+    occ = intersect_p(scene.bvh, v3_stack(ray_o), v3_stack(ray_d), t_max,
+                      active=active)
+    for g in scene.instanced:
+        n_inst = g.inv.shape[0]
+        o_all, d_all = _inst_rays(g, ray_o, ray_d)
+        act = _inst_active(g, ray_o, ray_d, t_max, active)
+        act = act & ~jnp.tile(occ, n_inst)
+        t_all = jnp.tile(jnp.broadcast_to(jnp.asarray(t_max, o_all.dtype),
+                                          occ.shape), n_inst)
+        o_i = intersect_p(g.bvh, o_all, d_all, t_all, active=act)
+        occ = occ | jnp.any(o_i.reshape(n_inst, -1), axis=0)
+    return occ
+
+
 def intersect_brute(p0, p1, p2, ray_o, ray_d, t_max=BIG_T) -> Hit:
     """O(R*T) reference oracle used by the BVH equivalence tests."""
     def per_ray(o, d):

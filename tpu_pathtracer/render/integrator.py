@@ -165,7 +165,7 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
     radiance = S4(zero, zero, zero, zero)
 
     ray_o = ray_o + ray_d * RAY_EPS
-    hit = trace.intersect_v3(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T))
+    hit = trace.intersect_scene(scene, ray_o, ray_d, jnp.asarray(BIG_T))
     it = make_interaction(scene, hit, ray_o, ray_d)
 
     # camera-ray miss -> env radiance (base_renderer.rs:180-186)
@@ -234,8 +234,8 @@ def trace_sample(scene: SceneData, meta: SceneMeta, camera: Camera,
         cont = alive & ms.sampled & (ms.pdf > 0.0)
         if with_ray_count:
             n_rays = n_rays + jnp.sum(cont.astype(jnp.float32))
-        hit2 = trace.intersect_v3(scene.bvh, next_o, wi, jnp.asarray(BIG_T),
-                                  active=cont)
+        hit2 = trace.intersect_scene(scene, next_o, wi, jnp.asarray(BIG_T),
+                                     active=cont)
         it2 = make_interaction(scene, hit2, next_o, wi)
 
         inv_pdf = jnp.where(ms.pdf > 0.0, 1.0 / jnp.where(ms.pdf > 0.0, ms.pdf, 1.0), 0.0)
@@ -517,8 +517,8 @@ def _wavefront_step(scene, meta, camera, cfg, sampler, px, spp_end, s,
         bank=sgrid.lambda_slice_bank(_spectral_table(scene), lam))
 
     # ---- trace the in-flight rays ---------------------------------------
-    hit = trace.intersect_v3(scene.bvh, ray_o, ray_d, jnp.asarray(BIG_T),
-                             active=tracing)
+    hit = trace.intersect_scene(scene, ray_o, ray_d, jnp.asarray(BIG_T),
+                                active=tracing)
     it = make_interaction(scene, hit, ray_o, ray_d)
     valid = it.valid & tracing
     n_rays = s["n_rays"] + jnp.sum(tracing.astype(jnp.float32))

@@ -264,8 +264,8 @@ def evaluate_nee(scene: SceneData, meta: SceneMeta, it, frame, wo_t: V3, wl,
 
     # --- one batched shadow ray ------------------------------------------
     shadow_o = it.position + wi * RAY_EPS_NEE
-    occluded = trace.intersect_p_v3(scene.bvh, shadow_o, wi, t_max,
-                                    active=any_l & it.valid)
+    occluded = trace.intersect_p_scene(scene, shadow_o, wi, t_max,
+                                       active=any_l & it.valid)
     visible = ~occluded & any_l & it.valid
 
     # --- BSDF factor ------------------------------------------------------

@@ -33,7 +33,8 @@ from ..ops.trace import pack_bvh
 from .types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV, LIGHT_POINT,
                     LIGHT_SPOT, MAT_CLEARCOAT, MAT_EMISSIVE, MAT_GLASS,
                     MAT_LAMBERT, MAT_METAL, MAT_PBR, MAT_PLASTIC, EnvMap,
-                    LightTable, MaterialTable, SceneData, SceneMeta)
+                    InstancedGroup, LightTable, MaterialTable, SceneData,
+                    SceneMeta)
 
 # ---------------------------------------------------------------------------
 # Texture + material descriptors (host-side scene description DSL)
@@ -176,6 +177,7 @@ class SceneBuilder:
         self.gamut = _gamut_by_name(gamut)
         self._materials: List[MaterialDesc] = []
         self._meshes: List[Tuple[Mesh, int]] = []          # (mesh in world space, mat_id)
+        self._instanced: List[Tuple[Mesh, List[Tuple[np.ndarray, int]]]] = []
         self._delta_lights: List[dict] = []
         self._env: Optional[dict] = None
         self._textures: List[Texture] = []
@@ -194,6 +196,26 @@ class SceneBuilder:
         if transform is not None:
             mesh = mesh.transformed(np.asarray(transform))
         self._meshes.append((mesh, material))
+
+    def add_instances(self, mesh: Mesh,
+                      instances: List[Tuple[np.ndarray, int]]) -> None:
+        """Add one mesh shared by many (transform, material) instances.
+
+        TPU-native two-level instancing (ref: per-mesh bottom BVH under
+        transformed primitives, scene/src/primitive/bvh.rs:111-166): the
+        triangle soup and its acceleration tables are stored ONCE; each
+        instance contributes a 3x4 affine + a material row.  Emissive
+        instance materials are rejected — area-light sampling runs on the
+        flattened main soup only (none of the reference demo scenes
+        instances an emitter).
+        """
+        insts = [(np.asarray(t, np.float64), int(m)) for t, m in instances]
+        if not insts:
+            raise ValueError("add_instances needs at least one instance")
+        for _, m in insts:
+            if isinstance(self._materials[m], Emissive):
+                raise ValueError("instanced meshes cannot be emissive")
+        self._instanced.append((mesh, insts))
 
     def add_triangle(self, p0, p1, p2, material: int) -> None:
         """Single-triangle primitive (ref: single_triangle.rs)."""
@@ -441,8 +463,61 @@ class SceneBuilder:
 
         bvh = pack_bvh(fb, P)
 
+        # 4b. instanced groups: canonical OBJECT-space tables built once
+        # per mesh; per-instance 3x4 affines in render space
+        groups = []
+        inst_lo_all, inst_hi_all = [], []
+        for mesh_c, insts in self._instanced:
+            idx = mesh_c.indices
+            Pg = mesh_c.positions[idx].astype(np.float64)
+            Ng = mesh_c.normals[idx].astype(np.float32)
+            UVg = mesh_c.uvs[idx].astype(np.float32)
+            TANg = mesh_c.tangents.astype(np.float32)
+            fbg = None
+            if not os.environ.get("TPT_NO_NATIVE"):
+                from ..native import build_bvh_native
+                fbg = build_bvh_native(Pg.min(1), Pg.max(1))
+            if fbg is None:
+                fbg = build_bvh(Pg.min(1), Pg.max(1))
+            og = fbg.order
+            Pg, Ng, UVg, TANg = Pg[og], Ng[og], UVg[og], TANg[og]
+            gb = pack_bvh(fbg, Pg.astype(np.float32))
+            attr = np.concatenate(
+                [Ng.reshape(len(Pg), 9), UVg.reshape(len(Pg), 6), TANg],
+                axis=1).astype(np.float32)
+            lo_o = Pg.reshape(-1, 3).min(0)
+            hi_o = Pg.reshape(-1, 3).max(0)
+            corners = np.array([[x, y, z]
+                                for x in (lo_o[0], hi_o[0])
+                                for y in (lo_o[1], hi_o[1])
+                                for z in (lo_o[2], hi_o[2])])
+            fwd_rows, inv_rows, mats = [], [], []
+            g_lo, g_hi = [], []
+            for t4, m in insts:
+                a = t4[:3, :3]
+                t = t4[:3, 3] - cam_pos            # render space
+                ai = np.linalg.inv(a)
+                fwd_rows.append(np.concatenate([a.reshape(9), t]))
+                inv_rows.append(np.concatenate([ai.reshape(9), -ai @ t]))
+                mats.append(m)
+                wc = corners @ a.T + t
+                g_lo.append(wc.min(0))
+                g_hi.append(wc.max(0))
+            inst_lo_all.extend(g_lo)
+            inst_hi_all.extend(g_hi)
+            groups.append(InstancedGroup(
+                bvh=gb, tri_attr=jnp.asarray(attr),
+                fwd=jnp.asarray(np.stack(fwd_rows), jnp.float32),
+                inv=jnp.asarray(np.stack(inv_rows), jnp.float32),
+                mat_id=jnp.asarray(np.asarray(mats, np.int32)),
+                aabb_min=jnp.asarray(np.stack(g_lo), jnp.float32),
+                aabb_max=jnp.asarray(np.stack(g_hi), jnp.float32)))
+
         # 5. world bounding sphere (for directional/env phi + env distance)
         lo, hi = P.reshape(-1, 3).min(0), P.reshape(-1, 3).max(0)
+        if inst_lo_all:
+            lo = np.minimum(lo, np.stack(inst_lo_all).min(0))
+            hi = np.maximum(hi, np.stack(inst_hi_all).max(0))
         world_radius = float(np.linalg.norm(hi - lo) / 2.0) or 1.0
 
         # 6. lights
@@ -586,6 +661,7 @@ class SceneBuilder:
             world_radius=jnp.asarray(world_radius, jnp.float32),
             rs_zn=jnp.asarray(zn),
             rs_coeffs=jnp.asarray(coeffs),
+            instanced=tuple(groups),
         )
         meta = SceneMeta(
             mat_types=tuple(int(t) for t in mt["mat_type"]),

@@ -109,6 +109,32 @@ class EnvMap(NamedTuple):
     rotation: jnp.ndarray       # () f32 azimuth rotation (radians)
 
 
+class InstancedGroup(NamedTuple):
+    """One canonical mesh shared by I transformed instances.
+
+    TPU-native two-level acceleration (ref: the per-mesh bottom BVH under
+    transformed primitives, scene/src/primitive/bvh.rs:111-166 +
+    geometry/impls/triangle_mesh.rs:245-253): the canonical geometry is
+    stored ONCE in object space with its own block/BVH tables; at trace
+    time rays transform into object space per instance (direction left
+    unnormalized so the ray parameter t stays world-parametric) and all
+    instances trace as one batched kernel invocation, pre-culled by the
+    per-instance world AABBs.  Composite triangle ids
+    ``n_main + base + inst*Tc + tri`` route hits back through the decode
+    in render/surface.py.
+
+    Instanced meshes are non-emissive (builder-enforced): area-light
+    sampling stays on the flattened main soup.
+    """
+    bvh: BVHArrays              # canonical object-space mesh
+    tri_attr: jnp.ndarray       # (Tc, 18) canonical shading attributes
+    fwd: jnp.ndarray            # (I, 12) object->render affine rows [A|t]
+    inv: jnp.ndarray            # (I, 12) render->object affine rows [A|t]
+    mat_id: jnp.ndarray         # (I,) material row per instance
+    aabb_min: jnp.ndarray       # (I, 3) world (render-space) instance AABB
+    aabb_max: jnp.ndarray       # (I, 3)
+
+
 class SceneData(NamedTuple):
     """Everything the integrator needs, as device arrays (pytree)."""
     bvh: BVHArrays
@@ -141,6 +167,8 @@ class SceneData(NamedTuple):
     # rgb2spec table (device constants: textured albedo + env spectral upsampling)
     rs_zn: jnp.ndarray          # (res,)
     rs_coeffs: jnp.ndarray      # (3, res, res, res, 3)
+    # instanced mesh groups (possibly empty; static length)
+    instanced: Tuple["InstancedGroup", ...] = ()
 
 
 class SceneMeta(NamedTuple):

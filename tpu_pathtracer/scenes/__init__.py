@@ -118,14 +118,25 @@ def scene_6(sb: SceneBuilder, cam):
     return cam
 
 
-def _four_on_floor(sb, materials, scale=0.75):
-    """Four small hero meshes left-to-right (scene_7.rs:20-27 layout)."""
+def _four_on_floor(sb, materials, scale=0.75, flatten=False):
+    """Four small hero meshes left-to-right (scene_7.rs:20-27 layout).
+
+    Instanced by default: the bunny soup + BVH tables are stored ONCE and
+    the four placements are 3x4 affines (ref two-level structure,
+    scene/src/primitive/bvh.rs:111-166).  ``flatten=True`` keeps the old
+    duplicated world-space build (the instancing equivalence test renders
+    both).
+    """
     xs = [-1.3, -0.5, 0.3, 1.1]
     bun = mesh.bunny()
     lo = bun.positions.min(0)
-    for x, mat in zip(xs, materials):
-        t = translate(x, -lo[1] * scale, -0.5) @ np.diag([scale] * 3 + [1.0])
-        sb.add_mesh(bun, mat, t)
+    ts = [translate(x, -lo[1] * scale, -0.5) @ np.diag([scale] * 3 + [1.0])
+          for x in xs]
+    if flatten:
+        for t, mat in zip(ts, materials):
+            sb.add_mesh(bun, mat, t)
+    else:
+        sb.add_instances(bun, list(zip(ts, materials)))
 
 
 @register(7)
