@@ -58,7 +58,7 @@ def child_render(args) -> None:
     import numpy as np
 
     from tpu_pathtracer.render.integrator import (RenderConfig, render_accum,
-                                                  count_rays_one_spp)
+                                                  render_wavefront)
     from tpu_pathtracer.scenes import load_scene
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
@@ -68,15 +68,13 @@ def child_render(args) -> None:
                                   table_res=args.table_res)
 
     note = ""
-    try:
-        rays_per_spp = count_rays_one_spp(scene, meta, cam, cfg)
-    except Exception as e:  # pragma: no cover - device-failure fencing
-        rays_per_spp = cfg.width * cfg.height * 6.0
-        note = f"ray-count pass failed ({type(e).__name__}); analytic estimate"
-
-    # warm-up: compile + one spp, materialized
+    # ray count comes from the SAME wavefront program the timed render
+    # runs (with_ray_count sums the tracing + NEE masks), so it cannot
+    # drift from the measured loop AND the call doubles as compile+warmup
     t0 = time.perf_counter()
-    np.asarray(render_accum(scene, meta, cam, cfg, spp_start=0, spp_end=1))
+    _, rays_per_spp = render_wavefront(scene, meta, cam, cfg,
+                                       spp_start=0, spp_end=1,
+                                       with_ray_count=True)
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     np.asarray(render_accum(scene, meta, cam, cfg, spp_start=0, spp_end=1))
