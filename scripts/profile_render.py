@@ -67,7 +67,7 @@ def main():
     from tpu_pathtracer.scenes import load_scene
     from tpu_pathtracer.spectrum import sampled as swl
     from tpu_pathtracer.ops import trace
-    from tpu_pathtracer.utils.math import make_frame, to_frame
+    from tpu_pathtracer.utils.vec import make_frame, smap, to_frame
 
     cfg = RenderConfig(width=W, height=W, spp=64, max_depth=16,
                        strategy="mis", sampler="sobol", seed=0)
@@ -97,9 +97,9 @@ def main():
     timeit("camera_rays_and_wl", gen)
     wl, o, d = run(gen)
 
-    timeit("intersect", lambda: trace.intersect(scene.bvh, o, d,
-                                                jnp.asarray(3.0e38)))
-    hit = run(lambda: trace.intersect(scene.bvh, o, d, jnp.asarray(3.0e38)))
+    timeit("intersect", lambda: trace.intersect_scene(scene, o, d,
+                                                      jnp.asarray(3.0e38)))
+    hit = run(lambda: trace.intersect_scene(scene, o, d, jnp.asarray(3.0e38)))
 
     timeit("make_interaction", lambda: make_interaction(scene, hit, o, d))
     it = run(lambda: make_interaction(scene, hit, o, d))
@@ -135,7 +135,7 @@ def main():
     timeit("pdf_light_for_hit",
            lambda: lights_mod.pdf_light_for_hit_pos(scene, meta, o, it, wl))
 
-    rad = jnp.abs(ms.f)
+    rad = smap(jnp.abs, ms.f)
     timeit("film_spectral_to_rgb", lambda: film_mod.spectral_to_rgb(rad, wl))
 
     # --- one full wavefront step and full sample --------------------------
