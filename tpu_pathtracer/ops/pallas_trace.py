@@ -226,6 +226,82 @@ def _block_test_fast(tri_m_ref, blk, rays, best_t, n_real: int):
     return t, u, v, hit
 
 
+# --- packed closest-hit bookkeeping (fast path) ---------------------------
+# Positive f32 order as their int32 bit patterns, so a hit's (t, lane) pair
+# packs into ONE int key: clear t's low 7 mantissa bits, OR in the lane
+# (BLOCK = 128 fits 7 bits).  The per-block update is then a single lane
+# min-reduce + two selects instead of 4 reductions + 2 pick-sums, and the
+# winner's exact t/u/v are recomputed OUTSIDE the kernel from one
+# tri_m12 row gather.  Cost: t comparisons lose 7 mantissa bits (relative
+# ~1.5e-5 tie window, same order as the f32 test noise the statistical
+# gate in tests/test_bvh.py already bounds).
+_KEY_LANE_MASK = 0x7F
+_KEY_DEAD = -2147483647
+
+
+def _t_key_bound(key):
+    """Conservative float bound encoded by a packed key."""
+    return jax.lax.bitcast_convert_type(
+        key & jnp.int32(~_KEY_LANE_MASK), jnp.float32)
+
+
+def _key_of_tmax(t0):
+    """Initial key for a per-ray search bound t0 (dead when t0 <= 0)."""
+    raw = jax.lax.bitcast_convert_type(t0.astype(jnp.float32), jnp.int32)
+    live = (raw & jnp.int32(~_KEY_LANE_MASK)) | jnp.int32(_KEY_LANE_MASK)
+    return jnp.where(t0 > 0.0, live, jnp.int32(_KEY_DEAD))
+
+
+def _kernel_closest_fast(list_ref, entry_ref, rays_ref, tmax_ref, tri_ref,
+                         key_ref, blk_ref, *, n_real: int,
+                         progs_per_block: int):
+    """Closest-hit with packed (t | lane) keys; returns (key, block)."""
+    row0 = (pl.program_id(0) % progs_per_block) * SUB_PER_PROG
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, BLOCK), 1)
+
+    def subtile(s_, _):
+        s = row0 + s_
+        rays = rays_ref[pl.ds(s_ * SUB, SUB), :]
+        t_max = tmax_ref[pl.ds(s_ * SUB, SUB), :]
+        cnt = list_ref[s, 0]
+
+        def cond(carry):
+            j, best_key, _ = carry
+            return (j < cnt) & (entry_ref[s, j]
+                                < jnp.max(_t_key_bound(best_key)))
+
+        def one_block(j, carry):
+            best_key, best_blk = carry
+            blk = list_ref[s, 1 + j]
+            bound = _t_key_bound(best_key)
+            t, _u, _v, hit = _block_test_fast(tri_ref, blk, rays, bound,
+                                              n_real)
+            traw = jax.lax.bitcast_convert_type(t, jnp.int32)
+            tkey = jnp.where(
+                hit, (traw & jnp.int32(~_KEY_LANE_MASK)) | lane,
+                jnp.int32(0x7FFFFFFF))
+            kmin = jnp.min(tkey, axis=1, keepdims=True)     # (SUB, 1)
+            better = kmin < best_key
+            best_blk = jnp.where(better, blk, best_blk)
+            best_key = jnp.where(better, kmin, best_key)
+            return best_key, best_blk
+
+        def body(carry):
+            j, *inner = carry
+            for k in range(EXIT_GROUP):
+                inner = one_block(j + k, tuple(inner))
+            return (j + EXIT_GROUP, *inner)
+
+        init = (jnp.int32(0), _key_of_tmax(t_max),
+                jnp.zeros((SUB, 1), jnp.int32))
+        _, best_key, best_blk = jax.lax.while_loop(cond, body, init)
+        key_ref[pl.ds(s_ * SUB, SUB), :] = best_key
+        blk_ref[pl.ds(s_ * SUB, SUB), :] = best_blk
+        return 0
+
+    jax.lax.fori_loop(0, SUB_PER_PROG, subtile, 0)
+
+
 def _kernel_closest(list_ref, entry_ref, rays_ref, tmax_ref, tri_ref,
                     t_ref, tri_out_ref, b1_ref, b2_ref, *, precise: bool,
                     n_real: int, progs_per_block: int):
@@ -482,6 +558,19 @@ def _traverse_pallas(tri_t, blk_min, blk_max, rays, t_max,
         return occ[:, 0] != 0
     out_spec = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    if not precise:
+        key, blk = pl.pallas_call(
+            functools.partial(_kernel_closest_fast, n_real=n_real,
+                              progs_per_block=progs_per_block),
+            grid_spec=pl.GridSpec(grid=(n_prog,), in_specs=in_specs,
+                                  out_specs=[out_spec] * 2),
+            out_shape=[
+                jax.ShapeDtypeStruct((r, 1), jnp.int32),
+                jax.ShapeDtypeStruct((r, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(lists, entries, rays, tmax_col, tri_t)
+        return key[:, 0], blk[:, 0]
     t, tri, b1, b2 = pl.pallas_call(
         functools.partial(_kernel_closest, precise=precise, n_real=n_real,
                           progs_per_block=progs_per_block),
@@ -560,6 +649,26 @@ def traverse(bvh, ray_o, ray_d, t_max, active=None, any_hit=False,
                                   is_stable=True)
             return (occ != 0)[:r]
         return out[:r]
+    if not precise:
+        # decode the packed (t | lane, block) winner and recompute its
+        # exact t/u/v from ONE tri_m12 row gather (see _kernel_closest_fast)
+        key, blk = out
+        found = key < _key_of_tmax(t0)
+        tri = blk * BLOCK + (key & jnp.int32(_KEY_LANE_MASK))
+        tri = jnp.where(found, tri, 0)
+        rows = bvh.tri_m12[jnp.clip(tri, 0, bvh.tri_m12.shape[0] - 1)]
+        ou = ox * rows[:, 0] + oy * rows[:, 1] + oz * rows[:, 2] + rows[:, 3]
+        ov = ox * rows[:, 4] + oy * rows[:, 5] + oz * rows[:, 6] + rows[:, 7]
+        ow = ox * rows[:, 8] + oy * rows[:, 9] + oz * rows[:, 10] + rows[:, 11]
+        du = dx * rows[:, 0] + dy * rows[:, 1] + dz * rows[:, 2]
+        dv = dx * rows[:, 4] + dy * rows[:, 5] + dz * rows[:, 6]
+        dw = dx * rows[:, 8] + dy * rows[:, 9] + dz * rows[:, 10]
+        t = -ow / jnp.where(dw == 0.0, 1.0, dw)
+        b1 = jnp.where(found, ou + t * du, 0.0)
+        b2 = jnp.where(found, ov + t * dv, 0.0)
+        t = jnp.where(found, t, BIG_T)
+        tri = jnp.where(found, tri, -1)
+        out = (t, tri, b1, b2)
     t, tri, b1, b2 = out
     if perm is not None:
         _, t, tri, b1, b2 = jax.lax.sort([perm, t, tri, b1, b2], num_keys=1,

@@ -67,6 +67,11 @@ class BVHArrays(NamedTuple):
              transformed ray in triangle coordinates (u = b1, v = b2,
              plane hit at o'_w + t d'_w = 0); degenerate/padding rows are
              all-zero -> t = NaN -> never a hit
+    tri_m12: (C*BLOCK, 12) f32 — the same transforms as per-triangle rows
+             [Mu(3) bu Mv(3) bv Mw(3) bw]: the closest-hit kernel returns
+             only (packed t|lane key, block); the winner's exact t/u/v are
+             recomputed OUTSIDE the kernel from ONE row gather of this
+             table (cheaper than per-block argmin/pick lane reductions)
     """
     nodes_f: jnp.ndarray
     nodes_i: jnp.ndarray
@@ -79,6 +84,7 @@ class BVHArrays(NamedTuple):
     blk_min: jnp.ndarray
     blk_max: jnp.ndarray
     tri_m: jnp.ndarray
+    tri_m12: jnp.ndarray
 
 
 def _leaf_ref(start: int, count: int) -> int:
@@ -157,6 +163,7 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
     M4p[:t] = M4.astype(np.float32)
     tri_m = (M4p.reshape(c, BLOCK, 3, 4).transpose(0, 2, 1, 3)
              .reshape(c * 3 * BLOCK, 4).T.copy())        # (4, C*3*BLOCK)
+    tri_m12 = M4p.reshape(c * BLOCK, 12)
 
     return BVHArrays(
         nodes_f=jnp.asarray(nodes_f),
@@ -170,6 +177,7 @@ def pack_bvh(fb, P: np.ndarray) -> BVHArrays:
         blk_min=jnp.asarray(blk_min),
         blk_max=jnp.asarray(blk_max),
         tri_m=jnp.asarray(tri_m),
+        tri_m12=jnp.asarray(tri_m12),
     )
 
 
@@ -381,6 +389,7 @@ def _chunk_view(bvh: BVHArrays, b0: int, b1: int) -> BVHArrays:
         tri9=bvh.tri9[lo:max(hi, lo)],
         tri9p=bvh.tri9p[b0 * BLOCK:b1 * BLOCK],
         tri_m=bvh.tri_m[:, b0 * 3 * BLOCK:b1 * 3 * BLOCK],
+        tri_m12=bvh.tri_m12[b0 * BLOCK:b1 * BLOCK],
         blk_min=bvh.blk_min[b0:b1],
         blk_max=bvh.blk_max[b0:b1],
     )
