@@ -94,9 +94,15 @@ def test_pt_mean_anchors():
     if not os.path.exists(path):
         pytest.skip("no committed anchors (run scripts/run_matrix.py)")
     anchors = json.load(open(path))
-    spp = 64
+    spp = 128
     # default tier keeps it to two contrasting scenes; the slow tier /
-    # artifact covers the full set
+    # artifact covers the full set.  Gate calibration (measured r5,
+    # scene 3): PT means across seeds/spp span 0.1633-0.1723 around the
+    # 512-spp anchor — the heavy tail converges slowly and a two-seed
+    # spread underestimates it, so the tolerance floor is 8%.  That still
+    # detects the round-3 failure class (a +43% flat PT bias) with 5x
+    # margin; flat biases below ~8% remain bounded by the nee<->mis mean
+    # gate (2%) + the filtered-RMSE consistency gates.
     for sid in ("3", "17"):
         if sid not in anchors:
             continue
@@ -107,10 +113,8 @@ def test_pt_mean_anchors():
                            sampler="sobol", seed=7, max_depth=a["max_depth"],
                            tone_map="none", eotf="linear")
         m = float(np.asarray(render(scene, meta, cam, cfg)).mean())
-        # seed noise at the anchor spp, scaled to this spp (sqrt law),
-        # with a 3% absolute floor
         noise = a["rel_seed_diff"] * (a["spp"] / spp) ** 0.5
-        tol = 0.03 + 2.0 * noise
+        tol = 0.08 + 2.0 * noise
         rel = abs(m - a["mean"]) / max(a["mean"], 1e-9)
         assert rel < tol, (f"scene {sid}: PT mean {m:.5f} vs anchor "
                            f"{a['mean']:.5f} (rel {rel:.4f} > tol {tol:.4f})")
