@@ -19,16 +19,22 @@ v2 structure (replaces the v1 all-blocks loop + SMEM-prefetch counts):
   2. The kernel loops over ONLY the tile's listed blocks (dynamic trip
      count from SMEM).  A tile of terminated rays has an empty list and
      costs nothing.
-  3. Rays are optionally pre-sorted by a coherence key (direction octant
-     + origin Morton code, dead rays last) so tiles stay spatially tight
-     after the first bounce — tile-granularity culling works for
-     secondary rays too.  Sorting uses ``lax.sort`` with the rays as
-     payload (a sorting network; no slow gathers) and results are
-     scattered back through a 1-D row gather (TPU fast path).
-  4. Edge functions default to plain f32 (``precise=False``); the
-     Dekker-compensated exact-sign form of utils/math.py costs ~3x the
-     flops and is kept for oracle-exact testing (TPT_PRECISE_TRACE=1).
-  5. An any-hit variant serves occlusion queries without the
+  3. Rays are pre-sorted by a coherence key (direction octant + origin
+     Morton code, dead rays last) so tiles stay spatially tight after the
+     first bounce — tile-granularity culling works for secondary rays
+     too.  Ray components ride INTO sorted order as ``lax.sort`` payload
+     columns and results ride BACK by sorting on the carried original
+     index; no permute gathers anywhere (each costs ~2.3 ms on this
+     chip's ~45 GB/s gather path vs ~0.2-0.6 ms per payload sort).
+  4. The fast closest-hit kernel carries ONE packed int32 key per ray
+     (positive-f32 t bit pattern with the winning lane in the low 7
+     mantissa bits) + the winning block; the winner's exact t/u/v are
+     recomputed outside the kernel from one tri_m12 row gather.
+  5. Hit tests default to the plain-f32 unit-triangle transform
+     (``precise=False``, MXU matmuls at HIGHEST precision); the
+     Dekker-compensated exact-sign shear form costs ~3x the flops and is
+     opt-in (RenderConfig.precise / TPT_PRECISE_TRACE=1).
+  6. An any-hit variant serves occlusion queries without the
      closest-hit bookkeeping.
 
 Semantics match ``ops.trace.intersect`` (closest hit, watertight in
