@@ -52,7 +52,7 @@ from ..spectrum import grid as sgrid
 from ..spectrum import rgb2spec
 from ..spectrum.sampled import SampledWavelengths
 from ..utils.vec import (Frame, S4, V2, V3, dot3, from_frame, make_frame,
-                         normalize3, s4_mean, sel, smap, to_frame, v3_const,
+                         normalize3, s4_mean, sel, smap, to_frame,
                          s4_stack, s4_unstack)
 from . import texture as tex_mod
 

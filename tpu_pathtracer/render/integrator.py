@@ -48,7 +48,7 @@ from ..ops import trace
 from ..spectrum import grid as sgrid
 from ..spectrum import sampled as swl
 from ..utils.vec import (S4, V3, dot3, from_frame, make_frame, sel, smap,
-                         to_frame, v3_stack, v3_unstack)
+                         to_frame, v3_stack)
 from . import bsdf as bsdf_mod
 from . import film as film_mod
 from . import lights as lights_mod

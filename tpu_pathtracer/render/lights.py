@@ -26,7 +26,7 @@ from ..scene.types import (LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_ENV,
                            LIGHT_POINT, LIGHT_SPOT, SceneData, SceneMeta)
 from ..spectrum import grid as sgrid
 from ..utils.vec import (S4, V2, V3, dot3, normalize3, s4_mean, sel, smap,
-                         to_frame, v3_unstack, s4_stack, s4_unstack)
+                         to_frame, v3_unstack, s4_stack)
 from . import bsdf as bsdf_mod
 
 RAY_EPS_NEE = 1.0e-4   # ref: renderer/src/renderer/common.rs:12
